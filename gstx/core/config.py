@@ -1,0 +1,271 @@
+"""Typed configuration for the gstx framework.
+
+Replaces the reference's dynamic ``BertConfig`` (reference
+``models/vilbert_dialog.py:131-274``), the two model-config JSONs
+(``config/bert_base_6layer_6conect_{enc,dec}.json``) and the ~45-flag argparse
+surface (``options.py:7-106``) with frozen dataclasses.  The JSON files of the
+reference remain loadable via :meth:`EncoderConfig.from_json` /
+:meth:`DecoderConfig.from_json` so existing config assets keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _load_json(path: str) -> dict:
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Two-stream ViLBERT encoder configuration.
+
+    Field semantics match the reference encoder config
+    (``config/bert_base_6layer_6conect_enc.json``) plus the defaults filled in
+    by ``BertConfig.__init__`` (reference ``models/vilbert_dialog.py:135-168``).
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.3
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    type_vocab_extension: int = 10  # extra segment table, vilbert_dialog.py:315
+    sep_vocab_size: int = 50  # sep_embeddings table (ckpt-present), :317
+    initializer_range: float = 0.02
+
+    # visual stream
+    v_feature_size: int = 2048
+    v_target_size: int = 1601
+    v_hidden_size: int = 1024
+    v_num_hidden_layers: int = 6
+    v_num_attention_heads: int = 8
+    v_intermediate_size: int = 1024
+    v_attention_probs_dropout_prob: float = 0.1
+    v_hidden_act: str = "gelu"
+    v_hidden_dropout_prob: float = 0.3
+    v_initializer_range: float = 0.02
+    v_loc_size: int = 5  # normalized box + area, image_features_reader.py:130-141
+
+    # co-attention
+    bi_hidden_size: int = 1024
+    bi_num_attention_heads: int = 8
+    bi_intermediate_size: int = 1024
+    v_biattention_id: Tuple[int, ...] = (0, 1, 2, 3, 4, 5)
+    t_biattention_id: Tuple[int, ...] = (6, 7, 8, 9, 10, 11)
+    with_coattention: bool = True
+    fixed_t_layer: int = 0
+    fixed_v_layer: int = 0
+
+    # heads
+    fusion_method: str = "mul"  # pooled fusion, vilbert_dialog.py:1030-1035
+    predict_feature: bool = False
+
+    layer_norm_eps: float = 1e-12
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def v_head_dim(self) -> int:
+        return self.v_hidden_size // self.v_num_attention_heads
+
+    @property
+    def bi_head_dim(self) -> int:
+        return self.bi_hidden_size // self.bi_num_attention_heads
+
+    @classmethod
+    def from_json(cls, path: str) -> "EncoderConfig":
+        raw = _load_json(path)
+        names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in names}
+        for key in ("v_biattention_id", "t_biattention_id"):
+            if key in kwargs:
+                kwargs[key] = tuple(kwargs[key])
+        return cls(**kwargs)
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Causal decoder with cross-attention.
+
+    Matches ``config/bert_base_6layer_6conect_dec.json`` (BertGeneration-style
+    decoder, reference ``models/visual_dialog_decoder.py:116-323``).
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.3
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+    add_cross_attention: bool = True
+    is_decoder: bool = True
+    layer_norm_eps: float = 1e-12
+    bos_token_id: int = 101
+    eos_token_id: int = 102
+    pad_token_id: int = 0
+    decoder_start_token_id: int = 101
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_json(cls, path: str) -> "DecoderConfig":
+        raw = _load_json(path)
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in names})
+
+
+# Token ids of bert-base-uncased specials; fixed by the WordPiece vocab the
+# reference uses everywhere (dataloader_visdial_gen.py:62-63).
+PAD_ID = 0
+UNK_ID = 100
+CLS_ID = 101
+SEP_ID = 102
+MASK_ID = 103
+SPECIAL_TOKEN_IDS = (PAD_ID, UNK_ID, CLS_ID, SEP_ID, MASK_ID)
+
+
+@dataclass(frozen=True)
+class GSTConfig:
+    """Full run configuration: every flag of the reference ``options.py``
+    (reference ``options.py:7-106``) plus TPU-specific knobs."""
+
+    # --- data input (VisDial), options.py:12-41 ---
+    visdial_processed_train: str = "data/visdial/visdial_1.0_train_processed.json"
+    visdial_processed_val: str = "data/visdial/visdial_1.0_val_processed.json"
+    visdial_processed_test: str = "data/visdial/visdial_1.0_test_processed.json"
+    visdial_processed_train_09: str = "data/visdial/visdial_0.9_train_processed.json"
+    visdial_processed_val_09: str = "data/visdial/visdial_0.9_val_processed.json"
+    visdial_image_feats: str = "data/visdial/visdial_img_feat.store"
+    visdial_processed_train_dense: str = "data/visdial/visdial_1.0_train_dense_processed.json"
+    train_dense: bool = False
+    visdial_processed_val_dense_annotations: str = (
+        "data/visdial/visdial_1.0_val_dense_annotations_processed.json"
+    )
+    visdial_processed_val_coref_dependency: str = (
+        "data/visdial/visdial_1.0_val_coref_dependency.json"
+    )
+    cos_sim_counter_fitting: str = "data/visdial/cos_sim_counter_fitting.npy"
+    cos_sim_idx2word: str = "data/visdial/cos_sim_idx2word.pickle"
+    cos_sim_word2idx: str = "data/visdial/cos_sim_word2idx.pickle"
+    start_path: str = ""
+    start_path_q: str = ""
+    start_path_a: str = ""
+    model_enc_config: str = ""
+    model_dec_config: str = ""
+    vocab_path: str = "data/vocab/bert-base-uncased-vocab.txt"
+
+    # --- data input (CC12M), options.py:44-50 ---
+    cc12m_processed_train: str = "data/cc12m/dialogs/"
+    cc12m_image_feats: str = "data/cc12m/features/"
+    cc12m_caption: str = ""
+    chunk: str = ""
+    threshold: int = 50  # ppl data-selection threshold, options.py:50
+
+    # --- training / mode, options.py:54-92 ---
+    vd_version: str = "1.0"  # {'1.0', '0.9'}
+    mode: str = "vd_train"  # {vd_train, vd_eval_val, vd_eval_test, vd_gen_val, cc12m_gen, cc12m_train}
+    model: str = "enc_dec_a"  # {enc_only_a, enc_dec_a, enc_dec_q}
+    iter: int = 1
+    num_workers: int = 8
+    batch_size: int = 72
+    num_epochs: int = 100
+    batch_multiply: int = 1
+    select_data: bool = False
+    lr: float = 2e-5
+    image_lr: float = 2e-5
+    min_lr: float = 1e-5
+    overfit: bool = False
+    continue_training: bool = False  # '-continue'
+    num_train_samples: int = 0
+    num_val_samples: int = 0
+    num_options: int = 100
+    sequences_per_image: int = 1
+    visdial_tot_rounds: int = 11
+    max_seq_len: int = 256
+    max_utt_len: int = 25
+    num_negative_samples: int = 1
+    lm_loss_coeff: float = 1.0
+    nsp_loss_coeff: float = 1.0
+    img_loss_coeff: float = 1.0
+    mask_prob: float = 0.15
+    attack: str = "fgsm"  # {fgsm, random_token, coreference}
+    save_path: str = "checkpoints/"
+    save_name: str = ""
+
+    # --- decode defaults (generate.py:138-141,177-180; visual_dialog_model.py:77) ---
+    max_dec_len: int = 18
+    temperature: float = 0.7
+    top_k: int = 7
+    top_p: float = 0.0
+    ngram_blocking_size: int = 4
+    num_dialog_rounds: int = 10
+    max_regions: int = 37
+
+    # --- TPU-specific ---
+    dtype: str = "bfloat16"  # activation dtype on TPU; use float32 for parity
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1 = all devices
+    model_parallel: int = 1
+    warmup_steps: int = 1500  # train_gen.py:180 (disc uses 10000, train_disc.py:146)
+    seed: int = 0
+    log_every: int = 10
+    use_pallas: bool = False
+
+    def encoder_config(self) -> EncoderConfig:
+        if self.model_enc_config:
+            return EncoderConfig.from_json(self.model_enc_config)
+        return EncoderConfig()
+
+    def decoder_config(self) -> DecoderConfig:
+        if self.model_dec_config:
+            return DecoderConfig.from_json(self.model_dec_config)
+        return DecoderConfig()
+
+    def replace(self, **kw) -> "GSTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def add_config_args(parser, cls=GSTConfig):
+    """Expose every GSTConfig field as a '-flag' (single-dash, like the
+    reference options.py) on an argparse parser."""
+    for f in dataclasses.fields(cls):
+        name = "-" + f.name
+        if f.type in ("bool", bool):
+            parser.add_argument(name, action="store_true", default=f.default)
+        else:
+            ftype = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+            if isinstance(f.default, bool):
+                parser.add_argument(name, action="store_true", default=f.default)
+            elif isinstance(f.default, int):
+                parser.add_argument(name, type=int, default=f.default)
+            elif isinstance(f.default, float):
+                parser.add_argument(name, type=float, default=f.default)
+            else:
+                parser.add_argument(name, type=ftype, default=f.default)
+    return parser
+
+
+def config_from_args(args, cls=GSTConfig) -> GSTConfig:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in vars(args).items() if k in names})

@@ -1,0 +1,74 @@
+"""Device-mesh and sharding utilities.
+
+The reference's only parallelism is single-node ``nn.DataParallel``
+(reference ``train_gen.py:295`` et al.).  The TPU-native equivalent is SPMD
+over a ``jax.sharding.Mesh``: batch-axis data parallelism with gradient
+all-reduce over ICI, and an optional ``model`` axis reserved for tensor
+parallelism of the 1024-d visual stream / 30522-vocab LM head.
+
+All entry points go through :func:`make_mesh` so multi-chip behaviour is
+centralised and testable on a virtual CPU mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=N``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data_parallel: int = -1,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D ('data', 'model') mesh over the available devices.
+
+    data_parallel == -1 means "all remaining devices".
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if model_parallel <= 0:
+        model_parallel = 1
+    if data_parallel == -1:
+        data_parallel = n // model_parallel
+    if data_parallel * model_parallel != n:
+        raise ValueError(
+            f"mesh {data_parallel}x{model_parallel} != {n} devices available"
+        )
+    dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device_put a pytree of host arrays with batch-axis sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {n}-way DP")
+    return global_batch // n

@@ -1,0 +1,197 @@
+"""The GST synthetic-dialog engine: questioner <-> teacher loop.
+
+TPU-native reimplementation of ``generate.py:90-258``: for each image, 10
+rounds of (generate question, append to context, generate answer, score
+answer perplexity, append answer).  The reference's per-sample Python
+in-place appends (``generate.py:148-160,214-228``) become fixed-shape
+``scatter``s with length bookkeeping and an abnormal-overflow mask, so the
+entire 10-round loop jits into ONE XLA program batched across the chip.
+
+Cost per image: 20 encoder forwards + 360 O(1) cached decode steps + 10
+teacher-forced perplexity passes, vs. the reference's ~380 full
+encoder+decoder forwards (SURVEY.md §3.2).  The answerer's encoder memory is
+reused between answer decoding and perplexity scoring — they see the same
+context (generate.py:163-211 recomputes it; the math is identical).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gstx.core.config import CLS_ID, PAD_ID, SEP_ID, DecoderConfig
+from gstx.decode.sampler import DecodeSettings, init_cache, sample_sequence
+from gstx.models.encdec import (
+    GSTVisualDialog,
+    derive_labels_and_inputs,
+    teacher_forced_nll,
+)
+
+
+class DialogState(NamedTuple):
+    enc_input_ids: jnp.ndarray   # [B, S] int32
+    enc_segments: jnp.ndarray    # [B, S] int32
+    enc_len: jnp.ndarray         # [B] int32 — number of valid tokens
+    abnormal: jnp.ndarray        # [B] bool — overflow happened
+
+
+class DialogOutput(NamedTuple):
+    questions: jnp.ndarray       # [R, B, T]
+    answers: jnp.ndarray         # [R, B, T]
+    answer_ppl: jnp.ndarray      # [R, B]
+    abnormal: jnp.ndarray        # [B]
+    final_state: DialogState
+
+
+def append_utterance(
+    state: DialogState,
+    utt: jnp.ndarray,        # [B, T] tokens, PAD after first EOS
+    utt_len: jnp.ndarray,    # [B] number of tokens to append
+    segment: int,            # segment id written for appended tokens (answers=1)
+    write_segments: bool,
+) -> Tuple[DialogState, jnp.ndarray]:
+    """Append each sample's utterance at its current context length.
+
+    Overflow handling mirrors generate.py:148-160: if start+len exceeds the
+    context, a single SEP is written instead, the utterance length becomes 1
+    and the sample is marked abnormal (it is dropped from the output JSON,
+    generate.py:236-237).
+    Returns (new_state, effective_len).
+    """
+    b, s = state.enc_input_ids.shape
+    t = utt.shape[1]
+    start = state.enc_len
+    overflow = (start + utt_len) > s
+
+    eff_utt = jnp.where(
+        overflow[:, None],
+        jnp.zeros_like(utt).at[:, 0].set(SEP_ID),
+        utt,
+    )
+    eff_len = jnp.where(overflow, 1, utt_len)
+
+    offs = jnp.arange(t)[None, :]                      # [1, T]
+    pos = start[:, None] + offs                        # [B, T]
+    valid = offs < eff_len[:, None]
+    # invalid slots scatter out of range -> dropped
+    pos = jnp.where(valid, pos, s)
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, t))
+
+    ids = state.enc_input_ids.at[rows, pos].set(
+        eff_utt, mode="drop")
+    segs = state.enc_segments
+    if write_segments:
+        segs = segs.at[rows, pos].set(
+            jnp.full((b, t), segment, dtype=segs.dtype), mode="drop")
+    return DialogState(
+        enc_input_ids=ids,
+        enc_segments=segs,
+        enc_len=start + eff_len,
+        abnormal=jnp.logical_or(state.abnormal, overflow),
+    ), eff_len
+
+
+def make_dialog_engine(
+    model: GSTVisualDialog,
+    dec_config: DecoderConfig,
+    num_rounds: int = 10,
+    q_settings: DecodeSettings = DecodeSettings(ngram_blocking_size=4),
+    a_settings: DecodeSettings = DecodeSettings(ngram_blocking_size=0),
+    dtype=jnp.float32,
+):
+    """Build the jittable dialog-generation function.
+
+    Returns ``engine(q_params, a_params, batch, rng) -> DialogOutput`` where
+    ``batch`` is a dict with enc_input_ids, enc_segments, image features /
+    locations / mask (the cc12m_gen / vd_gen_val batch layout,
+    dataloader_cc12m_gen.py:55-102).
+    """
+
+    def decode_utterance(params, state, image, rng, settings, ngram_source):
+        batch = state.enc_input_ids.shape[0]
+        att = (state.enc_input_ids != PAD_ID).astype(jnp.int32)
+        mem_kv, mem_mask = model.apply(
+            params,
+            state.enc_input_ids, image["feat"], image["loc"],
+            state.enc_segments, att, image["mask"],
+            method=GSTVisualDialog.decode_prepare)
+
+        def step_fn(tok, pos, caches):
+            return model.apply(
+                params, tok, pos, caches, mem_kv, mem_mask,
+                method=GSTVisualDialog.decode_step)
+
+        caches = init_cache(dec_config, batch, settings.max_steps + 1, dtype)
+        seq = sample_sequence(
+            step_fn, rng, batch, caches, settings,
+            ngram_source=ngram_source, bos_id=CLS_ID, eos_id=SEP_ID)
+        return seq, (mem_kv, mem_mask)
+
+    def answer_ppl(params, state, ans_ids, mem_kv, mem_mask):
+        """exp(mean NLL / answer length) — generate.py:183-211.
+
+        The attention mask is computed BEFORE the EOS->PAD rewrite (so the
+        EOS slot stays attendable), and the normalising length AFTER it (so
+        EOS is excluded), matching the reference's in-place mutation order.
+        """
+        att_mask = (ans_ids != PAD_ID).astype(jnp.int32)
+        labels, inputs = derive_labels_and_inputs(ans_ids, SEP_ID, PAD_ID)
+        logits = model.apply(
+            params, inputs, att_mask, mem_kv, mem_mask,
+            method=GSTVisualDialog.decode_logits_cached)
+        nll = teacher_forced_nll(logits, labels, PAD_ID)  # [B, T]
+        ans_len = (inputs != PAD_ID).sum(-1)
+        ppl = jnp.exp(nll.sum(-1) / jnp.maximum(ans_len, 1))
+        return ppl, inputs, ans_len
+
+    def engine(q_params, a_params, batch, rng) -> DialogOutput:
+        image = {
+            "feat": batch["enc_image_feat"],
+            "loc": batch["enc_image_loc"],
+            "mask": batch["enc_image_mask"],
+        }
+        state = DialogState(
+            enc_input_ids=batch["enc_input_ids"].astype(jnp.int32),
+            enc_segments=batch["enc_segments"].astype(jnp.int32),
+            enc_len=(batch["enc_input_ids"] != PAD_ID).sum(-1).astype(jnp.int32),
+            abnormal=jnp.zeros(batch["enc_input_ids"].shape[0], dtype=bool),
+        )
+
+        qs, ans, ppls = [], [], []
+        for _ in range(num_rounds):
+            rng, rq, ra = jax.random.split(rng, 3)
+
+            # n-gram blocking source: previously generated questions, i.e.
+            # tokens whose segment id is 0 (visual_dialog_model.py:96-100)
+            hist_ques = state.enc_input_ids * (state.enc_segments == 0)
+            ques, _ = decode_utterance(
+                q_params, state, image, rq, q_settings, hist_ques)
+            ques_len = (ques != PAD_ID).sum(-1)  # includes EOS, generate.py:145
+            state, _ = append_utterance(state, ques, ques_len,
+                                        segment=0, write_segments=False)
+
+            answ, (mem_kv, mem_mask) = decode_utterance(
+                a_params, state, image, ra, a_settings, None)
+            ppl, ans_wo_eos, ans_len = answer_ppl(
+                a_params, state, answ, mem_kv, mem_mask)
+            # the reference appends the EOS->PAD-rewritten answer and its
+            # EOS-less length, with segment id 1 (generate.py:205,214-228)
+            state, _ = append_utterance(state, ans_wo_eos, ans_len,
+                                        segment=1, write_segments=True)
+
+            qs.append(ques)
+            ans.append(answ)
+            ppls.append(ppl)
+
+        return DialogOutput(
+            questions=jnp.stack(qs),
+            answers=jnp.stack(ans),
+            answer_ppl=jnp.stack(ppls),
+            abnormal=state.abnormal,
+            final_state=state,
+        )
+
+    return engine

@@ -1,0 +1,227 @@
+"""Causal BERT decoder with cross-attention and a real KV cache.
+
+Reimplements the semantics of the reference decoder
+(``models/visual_dialog_decoder.py:116-344``: HF BertGeneration layers with
+``is_decoder=True``, ``add_cross_attention=True``) with a TPU-native design:
+
+  * teacher-forced training path: full-sequence causal self-attention and
+    cross-attention over the fused 293-token memory;
+  * decode path: the reference re-runs the FULL decoder per generated token
+    (``use_cache:false``, config/..._dec.json:25 — 18 full forwards per
+    utterance).  Here the memory's cross-attention K/V are computed ONCE and
+    self-attention K/V accumulate in a fixed-shape cache, so each decode step
+    is O(1) matmuls — the core of the >10x dialog-engine speedup
+    (SURVEY.md §6 north-star).
+
+The decoder shares the word/position/segment embedding module with the
+encoder (reference weight tying, ``train_gen.py:293``) — the caller passes
+embedded inputs and a tied ``embed_attend`` projection.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gstx.core.config import DecoderConfig
+from gstx.models.layers import (
+    attend,
+    causal_additive_mask,
+    dense as layers_dense,
+    layer_norm,
+    merge_heads,
+    split_heads,
+)
+
+Cache = Dict[str, jnp.ndarray]
+
+
+class DecoderLayer(nn.Module):
+    """Self-attention (causal) + cross-attention + FFN, post-LN residuals —
+    the HF BertLayer with crossattention (transformers
+    modeling_bert.BertLayer as instantiated by the reference decoder)."""
+
+    config: DecoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        d = cfg.hidden_size
+        dense = lambda feats, name: layers_dense(feats, self.dtype, name)
+        self.qkv = dense(3 * d, "qkv")
+        self.self_out = dense(d, "self_out")
+        self.self_ln = layer_norm(cfg.layer_norm_eps, self.dtype, "self_ln")
+        self.cross_q = dense(d, "cross_q")
+        self.cross_kv = dense(2 * d, "cross_kv")
+        self.cross_out = dense(d, "cross_out")
+        self.cross_ln = layer_norm(cfg.layer_norm_eps, self.dtype, "cross_ln")
+        self.intermediate = dense(cfg.intermediate_size, "intermediate")
+        self.output = dense(d, "output")
+        self.output_ln = layer_norm(cfg.layer_norm_eps, self.dtype, "output_ln")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.attn_dropout_rate = cfg.attention_probs_dropout_prob
+
+    def memory_kv(self, memory: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute cross-attention K/V for a fixed encoder memory."""
+        h = self.config.num_attention_heads
+        kv = self.cross_kv(memory)
+        k, v = jnp.split(kv, 2, axis=-1)
+        return split_heads(k, h), split_heads(v, h)
+
+    def _self_block(self, x, q, k, v, mask, deterministic):
+        rng = None if deterministic else self.make_rng("dropout")
+        ctx = attend(q, k, v, mask, dropout_rate=self.attn_dropout_rate,
+                     deterministic=deterministic, dropout_rng=rng,
+                     dtype=self.dtype)
+        out = self.self_out(merge_heads(ctx))
+        out = self.dropout(out, deterministic=deterministic)
+        return self.self_ln(out + x)
+
+    def _cross_block(self, x, mem_k, mem_v, mem_mask, deterministic):
+        h = self.config.num_attention_heads
+        q = split_heads(self.cross_q(x), h)
+        rng = None if deterministic else self.make_rng("dropout")
+        ctx = attend(q, mem_k, mem_v, mem_mask,
+                     dropout_rate=self.attn_dropout_rate,
+                     deterministic=deterministic, dropout_rng=rng,
+                     dtype=self.dtype)
+        out = self.cross_out(merge_heads(ctx))
+        out = self.dropout(out, deterministic=deterministic)
+        return self.cross_ln(out + x)
+
+    def _ffn_block(self, x, deterministic):
+        h = jax.nn.gelu(self.intermediate(x), approximate=False)
+        h = self.output(h)
+        h = self.dropout(h, deterministic=deterministic)
+        return self.output_ln(h + x)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,               # [B, L, D]
+        self_mask: jnp.ndarray,       # [B, 1, L, L] additive causal mask
+        memory: jnp.ndarray,          # [B, M, D]
+        mem_mask: Optional[jnp.ndarray],  # [B, 1, 1, M] additive
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        mem_k, mem_v = self.memory_kv(memory)
+        return self.forward_with_memory_kv(
+            x, self_mask, mem_k, mem_v, mem_mask, deterministic)
+
+    def forward_with_memory_kv(
+        self, x, self_mask, mem_k, mem_v, mem_mask, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Full-sequence forward with precomputed cross-attention K/V (used
+        when the encoder memory is reused, e.g. perplexity scoring right
+        after answer decoding in the dialog engine)."""
+        h = self.config.num_attention_heads
+        q, k, v = (split_heads(t, h) for t in jnp.split(self.qkv(x), 3, -1))
+        x = self._self_block(x, q, k, v, self_mask, deterministic)
+        x = self._cross_block(x, mem_k, mem_v, mem_mask, deterministic)
+        return self._ffn_block(x, deterministic)
+
+    def init_cache(self, batch: int, max_len: int) -> Cache:
+        h = self.config.num_attention_heads
+        dh = self.config.hidden_size // h
+        z = jnp.zeros((batch, h, max_len, dh), dtype=self.dtype)
+        return {"k": z, "v": z}
+
+    def step(
+        self,
+        x: jnp.ndarray,               # [B, 1, D] current token's hidden
+        pos: jnp.ndarray,             # scalar int32 — write position
+        cache: Cache,
+        mem_k: jnp.ndarray,
+        mem_v: jnp.ndarray,
+        mem_mask: Optional[jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, Cache]:
+        """One KV-cached decode step (always deterministic)."""
+        h = self.config.num_attention_heads
+        q, k, v = (split_heads(t, h) for t in jnp.split(self.qkv(x), 3, -1))
+        ck = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, pos, 0))
+        # valid cache slots are [0, pos]; mask the rest
+        max_len = ck.shape[2]
+        slot = jnp.arange(max_len)
+        smask = jnp.where(slot[None, None, None, :] <= pos, 0.0, -10000.0)
+        x = self._self_block(x, q, ck, cv, smask.astype(self.dtype), True)
+        x = self._cross_block(x, mem_k, mem_v, mem_mask, True)
+        x = self._ffn_block(x, True)
+        return x, {"k": ck, "v": cv}
+
+
+class GSTDecoderModel(nn.Module):
+    """Decoder stack.  Embedding and LM projection are tied to the encoder's
+    DialogEmbeddings and injected functionally by the owning model."""
+
+    config: DecoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.layers = [
+            DecoderLayer(self.config, dtype=self.dtype, name=f"layer_{i}")
+            for i in range(self.config.num_hidden_layers)
+        ]
+        # LM head free bias (BertGenerationOnlyLMHead.bias,
+        # visual_dialog_decoder.py:334)
+        self.lm_bias = self.param(
+            "lm_bias", nn.initializers.zeros, (self.config.vocab_size,),
+            jnp.float32)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                  # [B, L, D] embedded decoder inputs
+        attention_mask: Optional[jnp.ndarray],  # [B, L] {0,1} padding mask
+        memory: jnp.ndarray,             # [B, M, D]
+        memory_mask: Optional[jnp.ndarray],     # [B, 1, 1, M] additive
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if attention_mask is None:
+            attention_mask = jnp.ones(x.shape[:2], dtype=jnp.int32)
+        self_mask = causal_additive_mask(attention_mask, dtype=self.dtype)
+        for layer in self.layers:
+            x = layer(x, self_mask, memory, memory_mask,
+                      deterministic=deterministic)
+        return x
+
+    def forward_cached(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray],
+        memory_kv,                       # list of (k, v)
+        memory_mask: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if attention_mask is None:
+            attention_mask = jnp.ones(x.shape[:2], dtype=jnp.int32)
+        self_mask = causal_additive_mask(attention_mask, dtype=self.dtype)
+        for layer, (mk, mv) in zip(self.layers, memory_kv):
+            x = layer.forward_with_memory_kv(
+                x, self_mask, mk, mv, memory_mask, deterministic)
+        return x
+
+    # ---- KV-cached decoding ----
+
+    def init_cache(self, batch: int, max_len: int) -> List[Cache]:
+        return [l.init_cache(batch, max_len) for l in self.layers]
+
+    def precompute_memory(self, memory: jnp.ndarray):
+        """Per-layer cross K/V for a fixed memory — computed once per
+        utterance instead of once per decode step."""
+        return [l.memory_kv(memory) for l in self.layers]
+
+    def step(
+        self,
+        x: jnp.ndarray,                  # [B, 1, D]
+        pos: jnp.ndarray,                # scalar int32
+        caches: List[Cache],
+        memory_kv,                       # list of (k, v)
+        memory_mask: Optional[jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, List[Cache]]:
+        new_caches = []
+        for layer, cache, (mk, mv) in zip(self.layers, caches, memory_kv):
+            x, cache = layer.step(x, pos, cache, mk, mv, memory_mask)
+            new_caches.append(cache)
+        return x, new_caches

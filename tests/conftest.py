@@ -1,0 +1,72 @@
+"""Test harness: hermetic CPU backend with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+import jax  # noqa: E402
+
+# first-compile latency on this platform is tens of seconds even for tiny
+# programs; a persistent cache makes repeated test runs fast
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture(scope="session")
+def tiny_configs():
+    """Small model configs for fast CPU tests; same topology as production
+    (12/6/6 layers shrunk to 2/2/2, hidden sizes shrunk but head structure
+    intact)."""
+    from gstx.core.config import DecoderConfig, EncoderConfig
+
+    enc = EncoderConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        intermediate_size=64,
+        v_feature_size=16,
+        v_target_size=11,
+        v_hidden_size=24,
+        v_num_hidden_layers=2,
+        v_num_attention_heads=4,
+        v_intermediate_size=24,
+        bi_hidden_size=24,
+        bi_num_attention_heads=4,
+        bi_intermediate_size=24,
+        v_biattention_id=(0, 1),
+        t_biattention_id=(2, 3),
+        hidden_dropout_prob=0.0,
+        v_hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        v_attention_probs_dropout_prob=0.0,
+    )
+    dec = DecoderConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    return enc, dec

@@ -1,0 +1,94 @@
+"""Sampling ops vs. numpy oracles of the reference algorithms
+(utils/decoding_utils.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scipy_free_oracles import np_ngram_ban, np_top_k_top_p
+from gstx.ops.sampling import (
+    NEG_INF,
+    ngram_block,
+    pad_after_eos,
+    top_k_top_p_filter,
+)
+
+
+def _filtered_sets_equal(got, want):
+    """Compare which tokens survive filtering and their surviving logits."""
+    got_kept = got > NEG_INF / 2
+    want_kept = np.isfinite(want)
+    np.testing.assert_array_equal(got_kept, want_kept)
+    np.testing.assert_allclose(
+        np.where(got_kept, got, 0.0), np.where(want_kept, want, 0.0),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_top_k():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(4, 50).astype(np.float32)
+    got = np.asarray(top_k_top_p_filter(jnp.asarray(logits), top_k=7))
+    want = np_top_k_top_p(logits, top_k=7)
+    _filtered_sets_equal(got, want)
+
+
+def test_top_p():
+    rng = np.random.RandomState(1)
+    logits = (rng.randn(4, 50) * 3).astype(np.float32)
+    got = np.asarray(top_k_top_p_filter(jnp.asarray(logits), top_p=0.9))
+    want = np_top_k_top_p(logits, top_p=0.9)
+    _filtered_sets_equal(got, want)
+
+
+def test_top_k_then_top_p():
+    rng = np.random.RandomState(2)
+    logits = (rng.randn(8, 64) * 2).astype(np.float32)
+    got = np.asarray(
+        top_k_top_p_filter(jnp.asarray(logits), top_k=10, top_p=0.8))
+    want = np_top_k_top_p(logits, top_k=10, top_p=0.8)
+    _filtered_sets_equal(got, want)
+
+
+def test_ngram_block_matches_dict_oracle():
+    rng = np.random.RandomState(3)
+    vocab, n = 30, 3
+    b, s = 5, 40
+    # small token alphabet -> plenty of repeated n-grams
+    source = rng.randint(0, 12, size=(b, s)).astype(np.int32)
+    for cur_len in [1, 2, 3, 5, 9]:
+        dec = rng.randint(5, 12, size=(b, 19)).astype(np.int32)
+        logits = rng.randn(b, vocab).astype(np.float32)
+        got = np.asarray(ngram_block(
+            jnp.asarray(logits), jnp.asarray(source), jnp.asarray(dec),
+            cur_len, n))
+        for i in range(b):
+            banned = set(np_ngram_ban(source[i].tolist(),
+                                      dec[i, :cur_len].tolist(), n))
+            for t in range(vocab):
+                if t in banned:
+                    assert got[i, t] <= NEG_INF / 2, (i, t, cur_len)
+                else:
+                    assert got[i, t] == logits[i, t], (i, t, cur_len)
+
+
+def test_ngram_block_excludes_special_tokens():
+    # window containing a special token (0) never bans
+    source = jnp.asarray([[7, 8, 0, 7, 8, 9, 1, 1]])
+    dec = jnp.zeros((1, 19), jnp.int32).at[0, 0].set(7).at[0, 1].set(8)
+    logits = jnp.zeros((1, 16))
+    got = np.asarray(ngram_block(logits, source, dec, 2, 3))
+    # (7,8,9) is a clean window -> 9 banned; (7,8,0) contains PAD -> 0 not banned
+    assert got[0, 9] <= NEG_INF / 2
+    assert got[0, 0] == 0.0
+
+
+def test_pad_after_eos():
+    seq = jnp.asarray([
+        [5, 6, 102, 7, 102, 8],
+        [5, 6, 7, 8, 9, 10],
+        [102, 1, 2, 3, 4, 5],
+    ])
+    got = np.asarray(pad_after_eos(seq, eos_id=102, pad_id=0))
+    np.testing.assert_array_equal(got[0], [5, 6, 102, 0, 0, 0])
+    np.testing.assert_array_equal(got[1], [5, 6, 7, 8, 9, 10])
+    np.testing.assert_array_equal(got[2], [102, 0, 0, 0, 0, 0])
