@@ -1,0 +1,88 @@
+"""Host-side batch loader: the TPU replacement for torch DataLoader.
+
+Map-style datasets (``__getitem__``/``__len__`` of numpy dicts) are batched
+into fixed-shape numpy arrays and prefetched with a thread pool while the
+previous step runs on device.  Determinism: each item gets a per-(epoch,
+index) seed derived from the loader seed, so runs reproduce regardless of
+worker scheduling (the reference's DataLoader workers are nondeterministic).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate(items) -> Dict[str, np.ndarray]:
+    """Stack a list of item dicts into one batch dict."""
+    keys = items[0].keys()
+    return {k: np.stack([it[k] for it in items]) for k in keys}
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 8,
+                 seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch_id: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch_id).shuffle(order)
+        nb = len(self)
+
+        def fetch(i):
+            lo = i * self.batch_size
+            hi = min(lo + self.batch_size, n)
+            idx = order[lo:hi]
+            items = [self._get(int(j), epoch_id) for j in idx]
+            return collate(items)
+
+        if self.num_workers <= 1:
+            for i in range(nb):
+                yield fetch(i)
+            return
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = []
+            depth = max(1, self.prefetch)
+            for i in range(min(depth, nb)):
+                pending.append(pool.submit(fetch, i))
+            nxt = len(pending)
+            for i in range(nb):
+                batch = pending.pop(0).result()
+                if nxt < nb:
+                    pending.append(pool.submit(fetch, nxt))
+                    nxt += 1
+                yield batch
+
+    def _get(self, index: int, epoch_id: int):
+        seed = (self.seed * 1_000_003 + epoch_id * 97 + index) % (2**31 - 1)
+        try:
+            return self.dataset.__getitem__(index, seed=seed)
+        except TypeError:
+            return self.dataset[index]
+
+
+def batch_iter(loader: DataLoader, num_epochs: int, start_epoch: int = 0):
+    """(epoch_id, idx, batch) generator — reference utils/data_utils.py:20-23."""
+    for epoch_id in range(start_epoch, num_epochs):
+        for idx, batch in enumerate(loader.epoch(epoch_id)):
+            yield epoch_id, idx, batch

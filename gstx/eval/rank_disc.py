@@ -1,0 +1,107 @@
+"""Discriminative ranking evaluation: candidate score = NSP softmax prob of
+the "is-next" class.
+
+Equivalent of reference ``evaluate_disc.py:22-120``: [B, 10, options]
+full-sequence candidates scored by softmax(seq_relationship)[:, 0]
+(:79-83), chunked (reference 200), reduced to the same metrics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstx.data.encode import sequence_mask
+from gstx.eval.metrics import NDCG, SparseGTMetrics, scores_to_ranks
+from gstx.models.encdec import GSTVisualDialog
+
+
+def make_nsp_scorer(model: GSTVisualDialog):
+    @jax.jit
+    def score_chunk(params, chunk):
+        _, _, nsp = model.apply(
+            params,
+            chunk["tokens"], chunk["image_feat"], chunk["image_loc"],
+            chunk["segments"], chunk["att_mask"], chunk["image_mask"],
+            method=GSTVisualDialog.pretrain_scores)
+        probs = jax.nn.softmax(nsp.astype(jnp.float32), axis=-1)
+        return probs[:, 0]
+
+    return score_chunk
+
+
+def _nsp_attention_mask(sep_indices: np.ndarray, hist_len: np.ndarray,
+                        max_len: int) -> np.ndarray:
+    """Attention covers tokens up to the hist_len-th SEP (train_disc.py:97-99:
+    gather(sep_indices, hist_len)+1 -> sequence_mask)."""
+    seq_lens = np.take_along_axis(
+        sep_indices, hist_len[:, None], axis=1)[:, 0] + 1
+    return sequence_mask(seq_lens, max_len).astype(np.float32)
+
+
+def evaluate_disc(
+    model: GSTVisualDialog,
+    params,
+    loader,
+    mode: str = "vd_eval_val",
+    vd_version: str = "1.0",
+    chunk_size: int = 200,
+    logger=None,
+) -> Dict:
+    sparse = SparseGTMetrics()
+    ndcg = NDCG()
+    ranks_json: List[dict] = []
+    score_chunk = make_nsp_scorer(model)
+
+    for batch in loader:
+        b, rounds, options = batch["tokens"].shape[:3]
+        total = b * rounds * options
+        flat = {}
+        for key in ("tokens", "segments", "sep_indices"):
+            flat[key] = batch[key].reshape(total, batch[key].shape[-1])
+        hist_len = batch["hist_len"].reshape(total)
+        flat["att_mask"] = _nsp_attention_mask(
+            flat["sep_indices"], hist_len, batch["tokens"].shape[-1])
+        for key in ("image_feat", "image_loc", "image_mask"):
+            x = batch[key]
+            expanded = np.broadcast_to(
+                x[:, None, None], (b, rounds, options) + x.shape[1:])
+            flat[key] = expanded.reshape((total,) + x.shape[1:])
+
+        cs = min(chunk_size, total)
+        assert total % cs == 0
+        out = []
+        for j in range(total // cs):
+            chunk = {k: jnp.asarray(v[j * cs:(j + 1) * cs])
+                     for k, v in flat.items()}
+            out.append(np.asarray(score_chunk(params, chunk)))
+        scores = np.concatenate(out).reshape(b, rounds, options)
+
+        if mode == "vd_eval_val":
+            sparse.observe(scores, batch["gt_option_inds"])
+            if vd_version == "1.0":
+                rel_round = batch["round_id"][:, 0]
+                ndcg.observe(scores[np.arange(b), rel_round - 1],
+                             batch["gt_relevance"])
+        else:
+            ranks = scores_to_ranks(scores)[:, 0, :]
+            for i in range(b):
+                ranks_json.append({
+                    "image_id": int(batch["image_id"][i, 0]),
+                    "round_id": int(batch["round_id"][i, 0]),
+                    "ranks": [int(r) for r in ranks[i]],
+                })
+
+    if mode == "vd_eval_val":
+        metrics = {}
+        metrics.update(sparse.retrieve(reset=True))
+        if vd_version == "1.0":
+            metrics.update(ndcg.retrieve(reset=True))
+        if logger is not None:
+            for k, v in metrics.items():
+                logger.write(f"{k}: {v}")
+        return metrics
+    return ranks_json

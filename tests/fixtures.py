@@ -1,0 +1,135 @@
+"""Synthetic data fixtures: tiny VisDial/CC12M JSONs + a synthetic region
+feature store + a small WordPiece vocab (SURVEY.md §4 test strategy)."""
+
+import json
+import os
+
+import numpy as np
+
+from gstx.data.feature_store import make_synthetic_store
+from gstx.data.tokenizer import BertTokenizer, make_test_vocab
+
+WORDS = [
+    "a", "man", "riding", "horse", "on", "the", "beach", "is", "there",
+    "dog", "in", "picture", "yes", "no", "what", "color", "brown", "black",
+    "how", "many", "people", "one", "two", "three", "it", "sunny", "day",
+    "water", "visible", "i", "think", "so", "can", "you", "see", "sand",
+    "white", "red", "blue", "wearing", "hat", "shirt", "##ing", "##s",
+]
+
+
+def make_tokenizer():
+    return BertTokenizer(vocab=make_test_vocab(WORDS))
+
+
+def make_visdial_json(path, num_dialogs=4, num_questions=30, num_answers=40,
+                      seed=0, with_gt=True, test_mode=False):
+    rng = np.random.RandomState(seed)
+    sample = lambda k: " ".join(
+        WORDS[i] for i in rng.randint(0, 36, size=k))
+    questions = [sample(4) for _ in range(num_questions)]
+    answers = [sample(3) for _ in range(num_answers)]
+    dialogs = []
+    for d in range(num_dialogs):
+        rounds = []
+        n_rounds = 10 if not test_mode else rng.randint(2, 11)
+        for r in range(n_rounds):
+            opts = rng.permutation(num_answers)[:100 % num_answers or 1]
+            # answer_options indexes must cover 100 entries for eval modes
+            options = list(rng.randint(0, num_answers, size=100))
+            gt = int(rng.randint(0, 100))
+            ans = options[gt]
+            rnd = {
+                "question": int(rng.randint(0, num_questions)),
+                "answer_options": [int(o) for o in options],
+                "gt_index": gt,
+            }
+            if not (test_mode and r == n_rounds - 1):
+                rnd["answer"] = int(ans)
+            else:
+                rnd["answer"] = int(ans)  # kept for simplicity
+            rounds.append(rnd)
+        dialog = {
+            "image_id": 1000 + d,
+            "caption": sample(6),
+            "dialog": rounds,
+        }
+        if test_mode:
+            dialog["round_id"] = n_rounds
+        dialogs.append(dialog)
+    data = {"data": {"dialogs": dialogs, "questions": questions,
+                     "answers": answers}}
+    with open(path, "w") as f:
+        json.dump(data, f)
+    return data
+
+
+def make_dense_json(path, num_dialogs=4, seed=1):
+    rng = np.random.RandomState(seed)
+    dense = []
+    for d in range(num_dialogs):
+        dense.append({
+            "image_id": 1000 + d,
+            "round_id": int(rng.randint(1, 11)),
+            "gt_relevance": [float(x) for x in
+                             rng.rand(100) * (rng.rand(100) > 0.7)],
+        })
+    with open(path, "w") as f:
+        json.dump(dense, f)
+    return dense
+
+
+def make_cc12m_caption_json(path, num_images=4, seed=2):
+    rng = np.random.RandomState(seed)
+    sample = lambda k: " ".join(WORDS[i] for i in rng.randint(0, 36, size=k))
+    caps = [{"image_id": 2000 + i, "caption": sample(8)}
+            for i in range(num_images)]
+    with open(path, "w") as f:
+        json.dump(caps, f)
+    return caps
+
+
+def make_cc12m_dialog_json(path, num_images=4, seed=3):
+    rng = np.random.RandomState(seed)
+    sample = lambda k: " ".join(WORDS[i] for i in rng.randint(0, 36, size=k))
+    data = []
+    for i in range(num_images):
+        data.append({
+            "image_id": 2000 + i,
+            "url": f"http://example/{i}",
+            "caption": sample(8),
+            "dialog": [{
+                "question": sample(4),
+                "answer": sample(3),
+                "answer_ppl": float(rng.rand() * 100),
+            } for _ in range(10)],
+        })
+    with open(path, "w") as f:
+        json.dump(data, f)
+    return data
+
+
+def make_visdial_env(tmpdir, num_dialogs=4):
+    """Create the full fixture environment; returns a GSTConfig pointing at
+    it."""
+    from gstx.core.config import GSTConfig
+
+    paths = {
+        "visdial_processed_train": os.path.join(tmpdir, "train.json"),
+        "visdial_processed_val": os.path.join(tmpdir, "val.json"),
+        "visdial_processed_test": os.path.join(tmpdir, "test.json"),
+        "visdial_processed_val_dense_annotations":
+            os.path.join(tmpdir, "dense.json"),
+        "visdial_image_feats": os.path.join(tmpdir, "feats.store"),
+    }
+    make_visdial_json(paths["visdial_processed_train"], num_dialogs, seed=0)
+    make_visdial_json(paths["visdial_processed_val"], num_dialogs, seed=5)
+    make_visdial_json(paths["visdial_processed_test"], num_dialogs, seed=6,
+                      test_mode=True)
+    make_dense_json(paths["visdial_processed_val_dense_annotations"],
+                    num_dialogs)
+    make_synthetic_store(paths["visdial_image_feats"],
+                         [1000 + i for i in range(num_dialogs)],
+                         num_boxes=12, feat_dim=16, num_classes=11)
+    return GSTConfig(max_seq_len=96, max_utt_len=12, num_options=10,
+                     max_regions=13, **paths)
