@@ -42,10 +42,11 @@ class DialogEmbeddings(nn.Module):
         self.token_type_embeddings_extension = nn.Embed(
             cfg.type_vocab_extension, cfg.hidden_size, embedding_init=init,
             param_dtype=jnp.float32, name="token_type_embeddings_extension")
-        # ckpt-present, unused in forward (vilbert_dialog.py:317)
-        self.sep_embeddings = nn.Embed(
-            cfg.sep_vocab_size, cfg.hidden_size, embedding_init=init,
-            param_dtype=jnp.float32, name="sep_embeddings")
+        # ckpt-present, unused in forward (vilbert_dialog.py:317); a direct
+        # param so it materializes at init despite never being applied
+        self.sep_embeddings = self.param(
+            "sep_embeddings", init, (cfg.sep_vocab_size, cfg.hidden_size),
+            jnp.float32)
         self.ln = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="ln")
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 

@@ -1,0 +1,116 @@
+"""Optimizer: AdamW with the reference's two learning-rate groups and
+warmup-linear-nonzero schedule.
+
+Reference semantics reproduced exactly:
+  * ``WarmupLinearScheduleNonZero`` (``utils/optim_utils.py:8-26``): linear
+    warmup then linear decay, FLOORED at min_lr=1e-5 — including during
+    early warmup (the reference floors whenever base*factor < min_lr);
+  * two LR groups (``train_gen.py:204-242``): parameters named in
+    ``config/language_weights.json`` get ``lr``, everything else
+    ``image_lr``.  That list contains the text-BERT subtree only, so the
+    group rule becomes a path predicate: text embeddings, the 12 text-stream
+    layers and the MLM head are "language"; visual stream, co-attention,
+    poolers, NSP/image heads, fusion and the whole decoder are "image";
+  * no weight decay for biases and LayerNorm parameters, 0.01 otherwise
+    (``train_gen.py:204,217-225``), decay scaled by the group lr like torch
+    AdamW;
+  * AdamW hyperparameters of pytorch_transformers: b1=0.9, b2=0.999,
+    eps=1e-6.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def warmup_linear_nonzero(base_lr: float, warmup_steps: int, t_total: int,
+                          min_lr: float = 1e-5) -> Callable:
+    """optim_utils.py:19-26, including the min_lr floor on both sides."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        decay = jnp.maximum(
+            0.0, (t_total - step) / jnp.maximum(1.0, t_total - warmup_steps))
+        factor = jnp.where(step < warmup_steps, warm, decay)
+        lr = base_lr * factor
+        return jnp.where(lr > min_lr, lr, min_lr)
+
+    return schedule
+
+
+def is_language_param(path) -> bool:
+    """Group predicate replacing the language_weights.json name list
+    (train_gen.py:205-215): text embeddings + text-stream layers + MLM head."""
+    keys = [getattr(k, "key", str(k)) for k in path]
+    joined = "/".join(keys)
+    if "/embeddings/" in f"/{joined}/":
+        return True
+    if "encoder/encoder/layer_" in joined:  # text stream layers
+        return True
+    if joined.startswith("cls/transform") or "mlm_bias" in joined:
+        return True
+    return False
+
+
+def is_no_decay_param(path) -> bool:
+    """bias + LayerNorm params (scale/bias leaves), train_gen.py:204."""
+    leaf = getattr(path[-1], "key", str(path[-1]))
+    return leaf in ("bias", "scale")
+
+
+class _GroupScaleState(NamedTuple):
+    count: jnp.ndarray
+
+
+def make_optimizer(lang_lr: float, image_lr: float, warmup_steps: int,
+                   t_total: int, min_lr: float = 1e-5,
+                   weight_decay: float = 0.01) -> optax.GradientTransformation:
+    lang_sched = warmup_linear_nonzero(lang_lr, warmup_steps, t_total, min_lr)
+    img_sched = warmup_linear_nonzero(image_lr, warmup_steps, t_total, min_lr)
+
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6)
+
+    def decay_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: not is_no_decay_param(p), params)
+
+    wd = optax.add_decayed_weights(weight_decay, mask=decay_mask)
+
+    def init_fn(params):
+        return _GroupScaleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        lr_lang = lang_sched(state.count)
+        lr_img = img_sched(state.count)
+        new_updates = jax.tree_util.tree_map_with_path(
+            lambda p, u: -jnp.where(is_language_param(p), lr_lang, lr_img)
+            .astype(u.dtype) * u,
+            updates)
+        return new_updates, _GroupScaleState(count=state.count + 1)
+
+    group_scale = optax.GradientTransformation(init_fn, update_fn)
+    return optax.chain(adam, wd, group_scale)
+
+
+def optimizer_step_count(opt_state) -> int:
+    """Current schedule step (for logging/resume): the chain's last element
+    is the group-scale state."""
+    s = opt_state[-1]
+    assert isinstance(s, _GroupScaleState), type(s)
+    return int(s.count)
+
+
+def current_lrs(opt_state, lang_lr, image_lr, warmup_steps, t_total,
+                min_lr=1e-5):
+    step = optimizer_step_count(opt_state)
+    return (
+        float(warmup_linear_nonzero(lang_lr, warmup_steps, t_total,
+                                    min_lr)(step)),
+        float(warmup_linear_nonzero(image_lr, warmup_steps, t_total,
+                                    min_lr)(step)),
+    )

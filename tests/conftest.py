@@ -2,14 +2,6 @@
 sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
-
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
-
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -18,8 +10,13 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
-# first-compile latency on this platform is tens of seconds even for tiny
-# programs; a persistent cache makes repeated test runs fast
+# This machine's sitecustomize pre-registers a TPU backend (axon tunnel) in
+# every python process with JAX_PLATFORMS=axon; env vars set after interpreter
+# start are ignored.  config.update still wins, so force the hermetic
+# 8-virtual-device CPU backend here (multi-chip sharding paths run on it).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -1,0 +1,191 @@
+"""Training tests: schedule goldens, LR grouping, loss-decrease smoke tests,
+and the multi-device SPMD step on the virtual CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fixtures import make_tokenizer, make_visdial_env
+from gstx.core.mesh import batch_sharding, make_mesh, replicated
+from gstx.data.loader import DataLoader
+from gstx.data.visdial import VisdialDiscDataset, VisdialGenDataset
+from gstx.models.encdec import GSTVisualDialog
+from gstx.train.optim import (
+    is_language_param,
+    is_no_decay_param,
+    make_optimizer,
+    warmup_linear_nonzero,
+)
+from gstx.train.train_disc import make_disc_train_step
+from gstx.train.train_gen import make_train_step, select_rows
+
+
+def ref_schedule(step, base_lr, warmup, t_total, min_lr=1e-5):
+    """Reference optim_utils.py:19-26."""
+    if step < warmup:
+        factor = step / max(1, warmup)
+    else:
+        factor = max(0.0, (t_total - step) / max(1.0, t_total - warmup))
+    lr = base_lr * factor
+    return lr if lr > min_lr else min_lr
+
+
+def test_warmup_linear_nonzero_matches_reference():
+    sched = warmup_linear_nonzero(2e-5, 1500, 100000)
+    for step in [0, 1, 10, 750, 1499, 1500, 1501, 50000, 99999, 100000,
+                 120000]:
+        np.testing.assert_allclose(
+            float(sched(step)), ref_schedule(step, 2e-5, 1500, 100000),
+            rtol=1e-6, err_msg=f"step {step}")
+
+
+def test_schedule_floors_at_min_lr():
+    sched = warmup_linear_nonzero(2e-5, 1500, 10000)
+    np.testing.assert_allclose(float(sched(0)), 1e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10000)), 1e-5, rtol=1e-6)
+
+
+def _path(*keys):
+    return tuple(jax.tree_util.DictKey(k) for k in keys)
+
+
+def test_language_group_predicate():
+    assert is_language_param(_path("encoder", "embeddings",
+                                   "word_embeddings", "embedding"))
+    assert is_language_param(_path("encoder", "encoder", "layer_3",
+                                   "attention", "qkv", "kernel"))
+    assert is_language_param(_path("cls", "transform", "dense", "kernel"))
+    assert is_language_param(_path("cls", "mlm_bias"))
+    assert not is_language_param(_path("encoder", "encoder", "v_layer_0",
+                                       "attention", "qkv", "kernel"))
+    assert not is_language_param(_path("encoder", "encoder", "c_layer_2",
+                                       "biattention", "qkv1", "kernel"))
+    assert not is_language_param(_path("encoder", "t_pooler", "dense",
+                                       "kernel"))
+    assert not is_language_param(_path("encoder", "v_embeddings",
+                                       "image_embeddings", "kernel"))
+    assert not is_language_param(_path("decoder", "layer_0", "qkv", "kernel"))
+    assert not is_language_param(_path("fusion_fc_l", "kernel"))
+    assert not is_language_param(_path("cls", "bi_seq_relationship",
+                                       "kernel"))
+
+
+def test_no_decay_predicate():
+    assert is_no_decay_param(_path("encoder", "embeddings", "ln", "bias"))
+    assert is_no_decay_param(_path("encoder", "embeddings", "ln", "scale"))
+    assert is_no_decay_param(_path("decoder", "layer_0", "qkv", "bias"))
+    assert not is_no_decay_param(_path("decoder", "layer_0", "qkv", "kernel"))
+    assert not is_no_decay_param(_path("encoder", "embeddings",
+                                       "word_embeddings", "embedding"))
+
+
+@pytest.fixture(scope="module")
+def train_env(tmp_path_factory, tiny_configs):
+    tmpdir = str(tmp_path_factory.mktemp("train"))
+    cfg = make_visdial_env(tmpdir)
+    cfg = cfg.replace(batch_size=4, lr=1e-3, image_lr=1e-3, min_lr=1e-6,
+                      warmup_steps=1, mask_prob=0.15)
+    tok = make_tokenizer()
+    enc_cfg, dec_cfg = tiny_configs
+    enc_cfg = dataclasses.replace(enc_cfg, vocab_size=256)
+    dec_cfg = dataclasses.replace(dec_cfg, vocab_size=256)
+    model = GSTVisualDialog(enc_cfg, dec_cfg)
+    b, l, r, t = 2, cfg.max_seq_len, cfg.max_regions, cfg.max_utt_len
+    init_batch = dict(
+        input_ids=jnp.ones((b, l), jnp.int32),
+        image_feat=jnp.ones((b, r, enc_cfg.v_feature_size)),
+        image_loc=jnp.ones((b, r, 5)),
+        token_type_ids=jnp.zeros((b, l), jnp.int32),
+        attention_mask=jnp.ones((b, l), jnp.int32),
+        image_attention_mask=jnp.ones((b, r), jnp.int32),
+        dec_input_ids=jnp.ones((b, t), jnp.int32),
+        dec_attention_mask=jnp.ones((b, t), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), **init_batch,
+                        method=GSTVisualDialog.init_all)
+    return cfg, tok, model, params
+
+
+@pytest.mark.slow
+def test_gen_train_step_decreases_loss(train_env):
+    cfg, tok, model, params = train_env
+    ds = VisdialGenDataset(cfg, tok, mode="vd_train")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = {k: jnp.asarray(v) for k, v in next(dl.epoch(0)).items()}
+
+    optimizer = make_optimizer(cfg.lr, cfg.image_lr, cfg.warmup_steps, 1000,
+                               cfg.min_lr)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, cfg.batch_size)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    p = params
+    for i in range(10):
+        rng, r = jax.random.split(rng)
+        p, opt_state, m = step(p, opt_state, batch, r)
+        losses.append(float(m["lm_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_select_rows_semantics(train_env):
+    cfg, tok, model, params = train_env
+    ds = VisdialGenDataset(cfg, tok, mode="vd_train")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = {k: jnp.asarray(v) for k, v in next(dl.epoch(0)).items()}
+    idx = jnp.asarray([0, 11, 19])
+    rows = select_rows(batch, idx, train=True)
+    assert rows["enc_input_ids"].shape == (3, cfg.max_seq_len)
+    # row 11 = dialog 1, round 1; row 0 = dialog 0, round 0
+    np.testing.assert_array_equal(
+        np.asarray(rows["enc_input_ids"][0]),
+        np.asarray(batch["enc_input_ids"][0, 0, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(rows["enc_input_ids"][1]),
+        np.asarray(batch["enc_input_ids"][1, 1, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(rows["enc_image_feat"][1]),
+        np.asarray(batch["enc_image_feat"][1]))
+
+
+@pytest.mark.slow
+def test_disc_train_step_runs(train_env):
+    cfg, tok, model, params = train_env
+    ds = VisdialDiscDataset(cfg, tok, mode="vd_train")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = {k: jnp.asarray(v) for k, v in next(dl.epoch(0)).items()}
+    optimizer = make_optimizer(cfg.lr, cfg.image_lr, cfg.warmup_steps, 1000,
+                               cfg.min_lr)
+    opt_state = optimizer.init(params)
+    step = make_disc_train_step(model, optimizer, cfg)
+    p, opt_state, metrics = step(params, opt_state, batch,
+                                 jax.random.PRNGKey(0))
+    for k in ("loss", "lm_loss", "img_loss", "nsp_loss"):
+        assert np.isfinite(float(metrics[k])), (k, metrics)
+
+
+@pytest.mark.slow
+def test_multichip_train_step(train_env):
+    """SPMD over the 8-device virtual mesh: batch sharded on the data axis,
+    params replicated (SURVEY.md §2.6)."""
+    cfg, tok, model, params = train_env
+    mesh = make_mesh()  # 8x1
+    assert mesh.shape["data"] == 8
+    ds = VisdialGenDataset(cfg, tok, mode="vd_train")
+    # need batch divisible by 8: repeat items
+    items = [ds.__getitem__(i % len(ds), seed=i) for i in range(8)]
+    from gstx.data.loader import collate
+    batch = collate(items)
+    bsh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(jnp.asarray(v), bsh)
+                 for k, v in batch.items()}
+    p = jax.device_put(params, replicated(mesh))
+    optimizer = make_optimizer(cfg.lr, cfg.image_lr, cfg.warmup_steps, 1000,
+                               cfg.min_lr)
+    opt_state = jax.device_put(optimizer.init(params), replicated(mesh))
+    step = make_train_step(model, optimizer, cfg.batch_size)
+    p, opt_state, metrics = step(p, opt_state, dev_batch,
+                                 jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["lm_loss"]))
