@@ -1,0 +1,138 @@
+"""Benchmark: synthetic-dialog generation throughput (the GST north star).
+
+Runs the production-size questioner+teacher dialog engine (12+6+6-layer
+encoder, 12-layer decoder, bfloat16, KV-cached decode) on the available
+accelerator and reports generated dialog tokens/sec/chip.
+
+Baseline context (BASELINE.md): the reference publishes no benchmark
+numbers; the target derived from its workload is generating 10-round dialogs
+for 3.6M CC12M images on a v5e-16 in <24h => 3.6e6 images x 10 rounds x
+2 utterances x 18 tokens / 86400 s / 16 chips ~= 937.5 generated
+tokens/sec/chip.  ``vs_baseline`` is measured throughput / that target
+(>1 means the <24h goal is met with margin).
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+TARGET_TOKENS_PER_SEC_PER_CHIP = 3.6e6 * 10 * 2 * 18 / 86400.0 / 16.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-batch_size", type=int, default=32)
+    parser.add_argument("-rounds", type=int, default=10)
+    parser.add_argument("-warmup_rounds", type=int, default=1)
+    parser.add_argument("-repeats", type=int, default=2)
+    parser.add_argument("-cpu", action="store_true",
+                        help="force CPU (debug only)")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from gstx.core.config import (CLS_ID, SEP_ID, DecoderConfig,
+                                  EncoderConfig)
+    from gstx.decode.dialog_engine import make_dialog_engine
+    from gstx.decode.sampler import DecodeSettings
+    from gstx.models.encdec import GSTVisualDialog
+
+    enc_cfg = EncoderConfig()
+    dec_cfg = DecoderConfig()
+    dtype = jnp.bfloat16
+    model = GSTVisualDialog(enc_cfg, dec_cfg, dtype=dtype)
+
+    B, S, R, T = args.batch_size, 256, 37, 25
+    rng_np = np.random.RandomState(0)
+    print(f"[bench] devices={jax.devices()} batch={B}", file=sys.stderr)
+
+    init_batch = dict(
+        input_ids=jnp.ones((B, S), jnp.int32),
+        image_feat=jnp.ones((B, R, enc_cfg.v_feature_size), dtype),
+        image_loc=jnp.ones((B, R, 5), dtype),
+        token_type_ids=jnp.zeros((B, S), jnp.int32),
+        attention_mask=jnp.ones((B, S), jnp.int32),
+        image_attention_mask=jnp.ones((B, R), jnp.int32),
+        dec_input_ids=jnp.ones((B, T), jnp.int32),
+        dec_attention_mask=jnp.ones((B, T), jnp.int32))
+    t0 = time.time()
+    q_params = model.init(jax.random.PRNGKey(0), **init_batch,
+                          method=GSTVisualDialog.init_all)
+    a_params = q_params  # same weights; throughput identical, half the HBM
+    print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # caption-only contexts (dataloader_cc12m_gen.py:82-92 layout)
+    ids = np.zeros((B, S), np.int32)
+    segs = np.zeros((B, S), np.int32)
+    cap_len = 20
+    ids[:, 0] = CLS_ID
+    ids[:, 1:cap_len - 1] = rng_np.randint(1000, 20000,
+                                           size=(B, cap_len - 2))
+    ids[:, cap_len - 1] = SEP_ID
+    segs[:, :cap_len] = 1
+    batch = {
+        "enc_input_ids": jnp.asarray(ids),
+        "enc_segments": jnp.asarray(segs),
+        "enc_image_feat": jnp.asarray(
+            rng_np.rand(B, R, enc_cfg.v_feature_size), dtype),
+        "enc_image_loc": jnp.asarray(rng_np.rand(B, R, 5), dtype),
+        "enc_image_mask": jnp.ones((B, R), jnp.float32),
+    }
+
+    engine = make_dialog_engine(
+        model, dec_cfg, num_rounds=args.rounds,
+        q_settings=DecodeSettings(max_steps=18, temperature=0.7, top_k=7,
+                                  top_p=0.0, ngram_blocking_size=4),
+        a_settings=DecodeSettings(max_steps=18, temperature=0.7, top_k=7,
+                                  top_p=0.0, ngram_blocking_size=0),
+        dtype=dtype)
+
+    def run(key):
+        """NOTE: on this sandbox's tunnel platform block_until_ready returns
+        before remote execution completes; fetching the (small) outputs to
+        host is the only honest sync."""
+        out = engine(q_params, a_params, batch, key)
+        return (np.asarray(out.questions), np.asarray(out.answers),
+                np.asarray(out.answer_ppl))
+
+    t0 = time.time()
+    run(jax.random.PRNGKey(1))
+    print(f"[bench] compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for rep in range(args.repeats):
+        t0 = time.time()
+        run(jax.random.PRNGKey(2 + rep))
+        times.append(time.time() - t0)
+    wall = min(times)
+
+    # generated tokens: every decode step samples a token for each of the
+    # two models (the reference counts the same way: 18-step decodes)
+    tokens = args.batch_size * args.rounds * 2 * 18
+    n_chips = jax.device_count()
+    tps_chip = tokens / wall / n_chips
+    print(f"[bench] wall={wall:.2f}s tokens={tokens} chips={n_chips}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "generated dialog tokens/sec/chip",
+        "value": round(tps_chip, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tps_chip / TARGET_TOKENS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

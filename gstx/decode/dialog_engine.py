@@ -147,7 +147,35 @@ def make_dialog_engine(
         ppl = jnp.exp(nll.sum(-1) / jnp.maximum(ans_len, 1))
         return ppl, inputs, ans_len
 
-    def engine(q_params, a_params, batch, rng) -> DialogOutput:
+    def one_round(q_params, a_params, state, image, rng):
+        """One dialog round: Q-decode, append, A-decode, ppl, append.
+        Shape-invariant across rounds, so it compiles ONCE and is reused."""
+        rq, ra = jax.random.split(rng)
+
+        # n-gram blocking source: previously generated questions, i.e.
+        # tokens whose segment id is 0 (visual_dialog_model.py:96-100)
+        hist_ques = state.enc_input_ids * (state.enc_segments == 0)
+        ques, _ = decode_utterance(
+            q_params, state, image, rq, q_settings, hist_ques)
+        ques_len = (ques != PAD_ID).sum(-1)  # includes EOS, generate.py:145
+        state, _ = append_utterance(state, ques, ques_len,
+                                    segment=0, write_segments=False)
+
+        answ, (mem_kv, mem_mask) = decode_utterance(
+            a_params, state, image, ra, a_settings, None)
+        ppl, ans_wo_eos, ans_len = answer_ppl(
+            a_params, state, answ, mem_kv, mem_mask)
+        # the reference appends the EOS->PAD-rewritten answer and its
+        # EOS-less length, with segment id 1 (generate.py:205,214-228)
+        state, _ = append_utterance(state, ans_wo_eos, ans_len,
+                                    segment=1, write_segments=True)
+        return state, ques, answ, ppl
+
+    jitted_round = jax.jit(one_round)
+
+    def engine(q_params, a_params, batch, rng,
+               round_fn=None) -> DialogOutput:
+        round_fn = round_fn or jitted_round
         image = {
             "feat": batch["enc_image_feat"],
             "loc": batch["enc_image_loc"],
@@ -162,26 +190,9 @@ def make_dialog_engine(
 
         qs, ans, ppls = [], [], []
         for _ in range(num_rounds):
-            rng, rq, ra = jax.random.split(rng, 3)
-
-            # n-gram blocking source: previously generated questions, i.e.
-            # tokens whose segment id is 0 (visual_dialog_model.py:96-100)
-            hist_ques = state.enc_input_ids * (state.enc_segments == 0)
-            ques, _ = decode_utterance(
-                q_params, state, image, rq, q_settings, hist_ques)
-            ques_len = (ques != PAD_ID).sum(-1)  # includes EOS, generate.py:145
-            state, _ = append_utterance(state, ques, ques_len,
-                                        segment=0, write_segments=False)
-
-            answ, (mem_kv, mem_mask) = decode_utterance(
-                a_params, state, image, ra, a_settings, None)
-            ppl, ans_wo_eos, ans_len = answer_ppl(
-                a_params, state, answ, mem_kv, mem_mask)
-            # the reference appends the EOS->PAD-rewritten answer and its
-            # EOS-less length, with segment id 1 (generate.py:205,214-228)
-            state, _ = append_utterance(state, ans_wo_eos, ans_len,
-                                        segment=1, write_segments=True)
-
+            rng, rnd_rng = jax.random.split(rng)
+            state, ques, answ, ppl = round_fn(q_params, a_params, state,
+                                              image, rnd_rng)
             qs.append(ques)
             ans.append(answ)
             ppls.append(ppl)
@@ -194,4 +205,5 @@ def make_dialog_engine(
             final_state=state,
         )
 
+    engine.one_round = one_round
     return engine
