@@ -1,0 +1,88 @@
+"""Shared CLI plumbing: flag parsing (same '-flag' surface as the reference
+``options.py``), tokenizer/model/checkpoint construction."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gstx.core import checkpoint as ckpt_lib
+from gstx.core.config import DecoderConfig, EncoderConfig, GSTConfig, \
+    add_config_args, config_from_args
+from gstx.data.tokenizer import BertTokenizer
+from gstx.models.encdec import GSTVisualDialog
+
+
+def parse_config(argv=None, description: str = "gstx") -> GSTConfig:
+    parser = argparse.ArgumentParser(description=description)
+    add_config_args(parser)
+    cfg = config_from_args(parser.parse_args(argv))
+    if cfg.save_path == "checkpoints/":
+        # timestamped default save path (options.py:94-98)
+        stamp = time.strftime("%d-%b-%y-%X-%a", time.gmtime())
+        cfg = cfg.replace(save_path=os.path.join(cfg.save_path, stamp))
+    assert cfg.sequences_per_image <= 8
+    assert cfg.visdial_tot_rounds <= 11
+    return cfg
+
+
+def enable_compile_cache():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def build_tokenizer(config: GSTConfig) -> BertTokenizer:
+    return BertTokenizer(vocab_path=config.vocab_path)
+
+
+def build_model(config: GSTConfig) -> Tuple[GSTVisualDialog, EncoderConfig,
+                                            DecoderConfig]:
+    enc_cfg = config.encoder_config()
+    dec_cfg = config.decoder_config()
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    return GSTVisualDialog(enc_cfg, dec_cfg, dtype=dtype), enc_cfg, dec_cfg
+
+
+def init_params(model: GSTVisualDialog, config: GSTConfig, seed: int = 0):
+    enc_cfg = model.enc_config
+    b, l = 2, config.max_seq_len
+    r, t = config.max_regions, config.max_utt_len
+    init_batch = dict(
+        input_ids=jnp.ones((b, l), jnp.int32),
+        image_feat=jnp.ones((b, r, enc_cfg.v_feature_size)),
+        image_loc=jnp.ones((b, r, enc_cfg.v_loc_size)),
+        token_type_ids=jnp.zeros((b, l), jnp.int32),
+        attention_mask=jnp.ones((b, l), jnp.int32),
+        image_attention_mask=jnp.ones((b, r), jnp.int32),
+        dec_input_ids=jnp.ones((b, t), jnp.int32),
+        dec_attention_mask=jnp.ones((b, t), jnp.int32))
+    return model.init(jax.random.PRNGKey(seed), **init_batch,
+                      method=GSTVisualDialog.init_all)
+
+
+def load_params(model: GSTVisualDialog, config: GSTConfig, path: str,
+                seed: int = 0):
+    """Load a checkpoint: orbax dir or reference torch .ckpt file."""
+    params = init_params(model, config, seed)
+    if os.path.isdir(path):
+        restored = ckpt_lib.restore_checkpoint(path)
+        return restored["params"]
+    sd = ckpt_lib.load_torch_checkpoint(path)
+    enc_cfg, dec_cfg = model.enc_config, model.dec_config
+    tree = ckpt_lib.convert_torch_state_dict(
+        sd, enc_cfg.num_hidden_layers, enc_cfg.v_num_hidden_layers,
+        len(enc_cfg.v_biattention_id), dec_cfg.num_hidden_layers)
+
+    def merge(a, b):
+        if isinstance(a, dict):
+            return {k: merge(a[k], b[k]) if isinstance(b, dict) and k in b
+                    else a[k] for k in a}
+        return jnp.asarray(b)
+
+    return {"params": merge(params["params"], tree)}

@@ -1,0 +1,65 @@
+"""CLI: generative ranking evaluation (reference ``evaluate_gen.py``).
+
+Ranks 100 candidate answers per round by teacher-forced log-likelihood and
+reports NDCG/MRR/R@k (val) or writes an EvalAI ranks file (test).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pprint
+
+from gstx.cli.common import (
+    build_model,
+    build_tokenizer,
+    enable_compile_cache,
+    load_params,
+    parse_config,
+)
+from gstx.core.logging import Logger
+from gstx.data.loader import DataLoader
+from gstx.data.visdial import VisdialGenDataset
+from gstx.eval.rank_gen import evaluate_gen
+
+
+def main(argv=None, max_batches=None, chunk_size=500):
+    config = parse_config(argv, "gstx generative evaluation")
+    pprint.pprint(config)
+    assert config.mode in ("vd_eval_val", "vd_eval_test")
+    assert config.start_path != ""
+    os.makedirs(config.save_path, exist_ok=True)
+    enable_compile_cache()
+
+    # eval_batch_size 20 (v1.0) / 25 (v0.9), evaluate_gen.py:151
+    eval_batch_size = 20 if config.vd_version == "1.0" else 25
+    save_name = config.save_name or "performance_log.txt"
+    logger = Logger(os.path.join(config.save_path, save_name))
+
+    tokenizer = build_tokenizer(config)
+    dataset = VisdialGenDataset(config, tokenizer, mode=config.mode)
+    model, enc_cfg, dec_cfg = build_model(config)
+    params = load_params(model, config, config.start_path)
+
+    loader = DataLoader(dataset, batch_size=eval_batch_size, shuffle=False,
+                        drop_last=False, num_workers=config.num_workers)
+
+    def batches():
+        for i, b in enumerate(loader.epoch(0)):
+            if max_batches is not None and i >= max_batches:
+                return
+            yield b
+
+    result = evaluate_gen(model, params, batches(), mode=config.mode,
+                          vd_version=config.vd_version,
+                          chunk_size=chunk_size, logger=logger)
+    if config.mode == "vd_eval_test":
+        # note: the reference crashes here on an undefined name
+        # (evaluate_gen.py:191 'parsed') — fixed, not replicated
+        json.dump(result, open(
+            os.path.join(config.save_path, "predictions.txt"), "w"))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""CLI: synthetic dialog generation (the GST data engine).
+Mirrors reference ``generate.py``: a questioner and a teacher (answerer)
+model generate 10-round dialogs for every image in a CC12M chunk (or the
+VisDial val captions), with on-device answer perplexity, and dump JSON
+records {image_id, url, caption, dialog: [{question, answer, answer_ppl}]}.
+
+Abnormal samples (context overflow) are dropped from the output exactly like
+``generate.py:236-237``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pprint
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstx.cli.common import (
+    build_model,
+    build_tokenizer,
+    enable_compile_cache,
+    load_params,
+    parse_config,
+)
+from gstx.data.loader import DataLoader
+from gstx.decode.dialog_engine import make_dialog_engine
+from gstx.decode.sampler import DecodeSettings
+
+
+def decode_batch(tokenizer, seqs: np.ndarray):
+    return [tokenizer.decode([int(t) for t in row], skip_special_tokens=True)
+            for row in seqs]
+
+
+def main(argv=None, max_batches=None):
+    config = parse_config(argv, "gstx dialog generation")
+    pprint.pprint(config)
+    assert config.mode in ("vd_gen_val", "cc12m_gen")
+    assert config.save_name != ""
+    assert config.start_path_q and config.start_path_a
+    os.makedirs(config.save_path, exist_ok=True)
+    enable_compile_cache()
+
+    tokenizer = build_tokenizer(config)
+    if config.mode == "vd_gen_val":
+        from gstx.data.visdial import VisdialGenDataset
+
+        dataset = VisdialGenDataset(config, tokenizer, mode="vd_gen_val")
+    else:
+        from gstx.data.cc12m import CC12mDataset
+
+        dataset = CC12mDataset(config, tokenizer, mode="cc12m_gen")
+
+    model, enc_cfg, dec_cfg = build_model(config)
+    q_params = load_params(model, config, config.start_path_q)
+    a_params = load_params(model, config, config.start_path_a)
+
+    image_id_to_url = {}
+    url_to_cap = {}
+    if os.path.exists(config.image_id_to_url):
+        image_id_to_url = json.load(open(config.image_id_to_url))
+    if os.path.exists(config.url_to_cap):
+        url_to_cap = json.load(open(config.url_to_cap))
+
+    engine = make_dialog_engine(
+        model, dec_cfg, num_rounds=config.num_dialog_rounds,
+        q_settings=DecodeSettings(
+            max_steps=config.max_dec_len, temperature=config.temperature,
+            top_k=config.top_k, top_p=config.top_p,
+            ngram_blocking_size=config.ngram_blocking_size),
+        a_settings=DecodeSettings(
+            max_steps=config.max_dec_len, temperature=config.temperature,
+            top_k=config.top_k, top_p=config.top_p, ngram_blocking_size=0),
+        dtype=jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32)
+
+    loader = DataLoader(dataset, batch_size=config.batch_size, shuffle=False,
+                        drop_last=False, num_workers=config.num_workers,
+                        seed=config.seed)
+    rng = jax.random.PRNGKey(config.seed)
+    gen_data = []
+    t0 = time.time()
+    for idx, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and idx >= max_batches:
+            break
+        rng, key = jax.random.split(rng)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()
+               if k != "image_id"}
+        out = engine(q_params, a_params, dev, key)
+        questions = np.asarray(out.questions)  # [R, B, T]
+        answers = np.asarray(out.answers)
+        ppls = np.asarray(out.answer_ppl)
+        abnormal = np.asarray(out.abnormal)
+        image_ids = np.asarray(batch["image_id"])[:, 0]
+
+        for j in range(len(image_ids)):
+            if abnormal[j]:
+                continue  # generate.py:236-237
+            img_id = int(image_ids[j])
+            url = image_id_to_url.get(str(img_id), "")
+            cap = url_to_cap.get(url, "")
+            gen_data.append({
+                "image_id": img_id,
+                "url": url,
+                "caption": cap,
+                "dialog": [
+                    {
+                        "question": tokenizer.decode(
+                            [int(t) for t in questions[r, j]],
+                            skip_special_tokens=True),
+                        "answer": tokenizer.decode(
+                            [int(t) for t in answers[r, j]],
+                            skip_special_tokens=True),
+                        "answer_ppl": float(ppls[r, j]),
+                    }
+                    for r in range(config.num_dialog_rounds)
+                ],
+            })
+        if idx % 10 == 0:
+            done = (idx + 1) * config.batch_size
+            rate = done / (time.time() - t0)
+            print(f"[generate] {done} images, {rate:.1f} img/s")
+
+    out_path = os.path.join(config.save_path, config.save_name)
+    json.dump(gen_data, open(out_path, "w"))
+    print(f"[generate] wrote {len(gen_data)} dialogs to {out_path}")
+    return gen_data
+
+
+if __name__ == "__main__":
+    main()

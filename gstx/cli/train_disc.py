@@ -1,0 +1,100 @@
+"""CLI: discriminative training (reference ``train_disc.py``).
+
+enc_only model, 3-loss objective (masked LM + masked region + soft NSP),
+warmup 10000 steps, random-permutation row sampling; supports dense
+pseudo-label finetuning via -train_dense and encoder extraction from enc-dec
+checkpoints (the reference's 'start'-path special case,
+train_disc.py:203-210, is handled by the converter's prefix detection).
+"""
+
+from __future__ import annotations
+
+import os
+import pprint
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gstx.cli.common import (
+    build_model,
+    build_tokenizer,
+    enable_compile_cache,
+    init_params,
+    load_params,
+    parse_config,
+)
+from gstx.core import checkpoint as ckpt_lib
+from gstx.core.logging import Logger, MetricsWriter
+from gstx.data.loader import DataLoader, batch_iter
+from gstx.data.visdial import VisdialDiscDataset
+from gstx.train.optim import current_lrs, make_optimizer
+from gstx.train.train_disc import make_disc_train_step
+
+DISC_WARMUP_STEPS = 10000  # train_disc.py:146
+
+
+def main(argv=None, max_steps=None):
+    config = parse_config(argv, "gstx discriminative training")
+    pprint.pprint(config)
+    assert config.mode == "vd_train"
+    assert config.model == "enc_only_a"
+    os.makedirs(config.save_path, exist_ok=True)
+    enable_compile_cache()
+
+    logger = Logger(os.path.join(config.save_path, "log_disc.txt"))
+    metrics_writer = MetricsWriter(
+        os.path.join(config.save_path, "metrics.jsonl"))
+    tokenizer = build_tokenizer(config)
+    dataset = VisdialDiscDataset(config, tokenizer, mode="vd_train")
+    num_iter_epoch = max(1, len(dataset) // config.batch_size)
+    t_total = num_iter_epoch * config.num_epochs
+
+    model, enc_cfg, dec_cfg = build_model(config)
+    if config.start_path:
+        params = load_params(model, config, config.start_path)
+    else:
+        params = init_params(model, config, config.seed)
+
+    optimizer = make_optimizer(config.lr, config.image_lr,
+                               DISC_WARMUP_STEPS, t_total, config.min_lr)
+    opt_state = optimizer.init(params)
+    step_fn = make_disc_train_step(model, optimizer, config)
+
+    loader = DataLoader(dataset, batch_size=config.batch_size, shuffle=True,
+                        num_workers=config.num_workers, seed=config.seed)
+    rng = jax.random.PRNGKey(config.seed)
+    start_t = time.time()
+    for epoch_id, idx, batch in batch_iter(loader, config.num_epochs):
+        iter_id = idx + epoch_id * num_iter_epoch
+        rng, key = jax.random.split(rng)
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params, opt_state, metrics = step_fn(params, opt_state, dev_batch,
+                                             key)
+        if iter_id % config.log_every == 0:
+            vals = {k: float(v) for k, v in metrics.items()}
+            lr, _ = current_lrs(opt_state, config.lr, config.image_lr,
+                                DISC_WARMUP_STEPS, t_total, config.min_lr)
+            now = time.time()
+            logger.write(
+                "[%s][LR: %.7f][Ep: %.2f][Iter: %d][Time: %5.2fs]"
+                "[Loss: %.4g][LM: %.4g][NSP: %.4g][IMG: %.4g]" % (
+                    time.strftime("%a %d %b %y %X", time.gmtime()), lr,
+                    iter_id / num_iter_epoch, iter_id, now - start_t,
+                    vals["loss"], vals["lm_loss"], vals["nsp_loss"],
+                    vals["img_loss"]))
+            metrics_writer.log(iter_id, **vals)
+            start_t = now
+        if iter_id % num_iter_epoch == 0 and iter_id != 0:
+            ckpt_lib.save_checkpoint(
+                os.path.join(config.save_path,
+                             f"vd_train_disc_{epoch_id}.ckpt"),
+                params, opt_state, iter_id)
+            logger.write(f"\n{epoch_id} epoch ended.")
+        if max_steps is not None and iter_id + 1 >= max_steps:
+            break
+    return params, opt_state
+
+
+if __name__ == "__main__":
+    main()

@@ -178,6 +178,8 @@ class GSTConfig:
     cc12m_processed_train: str = "data/cc12m/dialogs/"
     cc12m_image_feats: str = "data/cc12m/features/"
     cc12m_caption: str = ""
+    url_to_cap: str = "data/url_to_cap.json"  # generate.py:87
+    image_id_to_url: str = "data/image_id_to_url.json"  # generate.py:88
     chunk: str = ""
     threshold: int = 50  # ppl data-selection threshold, options.py:50
 

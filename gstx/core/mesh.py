@@ -47,6 +47,17 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def auto_data_parallel(batch_size: int, n_devices: Optional[int] = None) -> int:
+    """Largest divisor of batch_size that is <= the device count, so the
+    batch axis always shards evenly."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    for d in range(min(batch_size, n_devices), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -247,9 +247,11 @@ class VisdialGenDataset(VisdialDatasetBase):
         gt_option_inds = []
         gt_relevance = None
         all_ctx, all_opt = [], []
+        # under the random_token attack the eval dataset masks history
+        # tokens with mask_prob (dataloader_visdial_gen.py:387)
         mask_prob = (self.config.mask_prob
                      if self.config.attack == "random_token"
-                     and self.config.mode == "vd_eval_val_attack" else 0)
+                     and getattr(self, "attack_mode", False) else 0)
         for rnd, utt in enumerate(dialog["dialog"]):
             fu = full[-1].copy()
             ctx = full[-1].copy() + [q_cache[utt["question"]]]

@@ -141,7 +141,15 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
         params, opt_state, start_iter_id = load_start_checkpoint(
             config, params, opt_state)
 
-    mesh = make_mesh(config.data_parallel, config.model_parallel)
+    from gstx.core.mesh import auto_data_parallel
+
+    n_dev = len(jax.devices())
+    dp = config.data_parallel
+    if dp == -1:
+        dp = auto_data_parallel(config.batch_size,
+                                n_dev // max(1, config.model_parallel))
+    mesh = make_mesh(dp, config.model_parallel,
+                     devices=jax.devices()[: dp * config.model_parallel])
     params = jax.device_put(params, replicated(mesh))
     opt_state = jax.device_put(opt_state, replicated(mesh))
     bsh = batch_sharding(mesh)

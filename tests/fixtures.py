@@ -133,3 +133,63 @@ def make_visdial_env(tmpdir, num_dialogs=4):
                          num_boxes=12, feat_dim=16, num_classes=11)
     return GSTConfig(max_seq_len=96, max_utt_len=12, num_options=10,
                      max_regions=13, **paths)
+
+
+def write_vocab_file(path):
+    """vocab.txt where line number == token id (gaps filled with [unusedN])."""
+    vocab = make_test_vocab(WORDS)
+    max_id = max(vocab.values())
+    lines = [f"[unused{i}]" for i in range(max_id + 1)]
+    for tok, idx in vocab.items():
+        lines[idx] = tok
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def make_cli_env(tmpdir, num_dialogs=4):
+    """Full CLI fixture: data + vocab file + tiny model config JSONs.
+    Returns (config_args: list[str], GSTConfig)."""
+    import json as _json
+    import os as _os
+
+    cfg = make_visdial_env(tmpdir, num_dialogs)
+    vocab_path = _os.path.join(tmpdir, "vocab.txt")
+    write_vocab_file(vocab_path)
+
+    enc_json = {
+        "vocab_size": 256, "hidden_size": 32, "num_hidden_layers": 4,
+        "num_attention_heads": 4, "intermediate_size": 64,
+        "hidden_dropout_prob": 0.1, "attention_probs_dropout_prob": 0.1,
+        "v_feature_size": 16, "v_target_size": 11, "v_hidden_size": 24,
+        "v_num_hidden_layers": 2, "v_num_attention_heads": 4,
+        "v_intermediate_size": 24, "bi_hidden_size": 24,
+        "bi_num_attention_heads": 4, "bi_intermediate_size": 24,
+        "v_biattention_id": [0, 1], "t_biattention_id": [2, 3],
+    }
+    dec_json = {
+        "vocab_size": 256, "hidden_size": 32, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "intermediate_size": 64,
+        "hidden_dropout_prob": 0.1, "attention_probs_dropout_prob": 0.1,
+    }
+    enc_path = _os.path.join(tmpdir, "enc.json")
+    dec_path = _os.path.join(tmpdir, "dec.json")
+    _json.dump(enc_json, open(enc_path, "w"))
+    _json.dump(dec_json, open(dec_path, "w"))
+
+    cfg = cfg.replace(vocab_path=vocab_path, model_enc_config=enc_path,
+                      model_dec_config=dec_path, dtype="float32",
+                      num_workers=1, save_path=_os.path.join(tmpdir, "out"))
+    args = []
+    for field in ("visdial_processed_train", "visdial_processed_val",
+                  "visdial_processed_test",
+                  "visdial_processed_val_dense_annotations",
+                  "visdial_image_feats", "vocab_path", "model_enc_config",
+                  "model_dec_config", "save_path"):
+        args.extend(["-" + field, getattr(cfg, field)])
+    args.extend(["-max_seq_len", str(cfg.max_seq_len),
+                 "-max_utt_len", str(cfg.max_utt_len),
+                 "-num_options", str(cfg.num_options),
+                 "-max_regions", str(cfg.max_regions),
+                 "-dtype", "float32", "-num_workers", "1"])
+    return args, cfg

@@ -1,0 +1,146 @@
+"""End-to-end CLI tests: every entry point of the reference has a gstx CLI
+that runs on the fixture data (SURVEY.md §3 call stacks)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_cli_env
+from gstx.cli.common import build_model, init_params, parse_config
+from gstx.core.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("cli"))
+    args, cfg = make_cli_env(tmpdir)
+    # build a tiny checkpoint usable as -start_path
+    model, enc_cfg, dec_cfg = build_model(cfg)
+    params = init_params(model, cfg, seed=0)
+    ckpt_path = os.path.join(tmpdir, "model_0.ckpt")
+    save_checkpoint(ckpt_path, params, step=0)
+    return args, cfg, ckpt_path
+
+
+@pytest.mark.slow
+def test_cli_evaluate_gen(cli_env):
+    from gstx.cli.evaluate_gen import main
+
+    args, cfg, ckpt = cli_env
+    metrics = main(args + ["-mode", "vd_eval_val", "-start_path", ckpt,
+                           "-batch_size", "2"],
+                   max_batches=1, chunk_size=50)
+    assert "mrr" in metrics and "ndcg" in metrics
+
+
+@pytest.mark.slow
+def test_cli_evaluate_gen_test_mode(cli_env):
+    from gstx.cli.evaluate_gen import main
+
+    args, cfg, ckpt = cli_env
+    result = main(args + ["-mode", "vd_eval_test", "-start_path", ckpt,
+                          "-num_options", "100"],
+                  max_batches=1, chunk_size=100)
+    pred_path = os.path.join(cfg.save_path, "predictions.txt")
+    assert os.path.exists(pred_path)
+    ranks = json.load(open(pred_path))
+    assert len(ranks) >= 1 and "ranks" in ranks[0]
+
+
+@pytest.mark.slow
+def test_cli_evaluate_disc(cli_env):
+    from gstx.cli.evaluate_disc import main
+
+    args, cfg, ckpt = cli_env
+    metrics = main(args + ["-mode", "vd_eval_val", "-model", "enc_only_a",
+                           "-start_path", ckpt],
+                   max_batches=1, chunk_size=50)
+    assert "mrr" in metrics
+
+
+@pytest.mark.slow
+def test_cli_generate(cli_env):
+    from gstx.cli.generate import main
+
+    args, cfg, ckpt = cli_env
+    gen = main(args + ["-mode", "vd_gen_val", "-save_name", "gen.json",
+                       "-start_path_q", ckpt, "-start_path_a", ckpt,
+                       "-batch_size", "2", "-num_dialog_rounds", "2",
+                       "-max_dec_len", "6"],
+               max_batches=1)
+    out_path = os.path.join(cfg.save_path, "gen.json")
+    assert os.path.exists(out_path)
+    data = json.load(open(out_path))
+    assert data == gen
+    for rec in data:
+        assert set(rec) == {"image_id", "url", "caption", "dialog"}
+        assert len(rec["dialog"]) == 2
+        assert "answer_ppl" in rec["dialog"][0]
+
+
+@pytest.mark.slow
+def test_cli_train_gen_steps(cli_env):
+    from gstx.cli.train_gen import main
+
+    args, cfg, ckpt = cli_env
+    params, opt_state = main(
+        args + ["-mode", "vd_train", "-model", "enc_dec_a",
+                "-batch_size", "4", "-num_epochs", "1", "-log_every", "1"],
+        max_steps=2)
+    assert params is not None
+
+
+@pytest.mark.slow
+def test_cli_train_disc_steps(cli_env):
+    from gstx.cli.train_disc import main
+
+    args, cfg, ckpt = cli_env
+    params, opt_state = main(
+        args + ["-mode", "vd_train", "-model", "enc_only_a",
+                "-batch_size", "4", "-num_epochs", "1", "-log_every", "1"],
+        max_steps=2)
+    assert params is not None
+
+
+@pytest.mark.slow
+def test_cli_inference_repl(cli_env):
+    from gstx.cli.inference import main
+
+    args, cfg, ckpt = cli_env
+    transcript = []
+    questions = iter(["is there a dog", "what color is it"])
+
+    def fake_input(prompt):
+        try:
+            return next(questions)
+        except StopIteration:
+            raise EOFError
+
+    main(args + ["-start_path", ckpt, "-max_dec_len", "6"],
+         input_fn=fake_input, output_fn=transcript.append, max_turns=2)
+    bot_lines = [l for l in transcript if l.startswith("bot:")]
+    assert len(bot_lines) == 2
+
+
+@pytest.mark.slow
+def test_cli_attack_fgsm(cli_env):
+    from gstx.cli.evaluate_gen_attack import main
+
+    args, cfg, ckpt = cli_env
+    metrics = main(args + ["-mode", "vd_eval_val", "-attack", "fgsm",
+                           "-start_path", ckpt],
+                   max_batches=1)
+    assert "mrr" in metrics and "ndcg" in metrics
+
+
+@pytest.mark.slow
+def test_cli_attack_random_token(cli_env):
+    from gstx.cli.evaluate_gen_attack import main
+
+    args, cfg, ckpt = cli_env
+    metrics = main(args + ["-mode", "vd_eval_val", "-attack", "random_token",
+                           "-start_path", ckpt, "-mask_prob", "0.3"],
+                   max_batches=1)
+    assert "mrr" in metrics
