@@ -104,6 +104,14 @@ def attend(
     to ``dtype``.  ``mask`` is an additive mask broadcastable to
     [B, H, Lq, Lk].
     """
+    from gstx.kernels import attention as _pk
+
+    fused = _pk.maybe_fused_attention(
+        q, k, v, mask, dropout_rate=dropout_rate,
+        deterministic=deterministic, dtype=dtype)
+    if fused is not None:
+        return fused
+
     dh = q.shape[-1]
     prec = prec_for(dtype)
     scores = jnp.einsum(
