@@ -88,7 +88,20 @@ class FeatureStoreReader:
     (image_features_reader.py:124-146).
     """
 
-    def __init__(self, path: str, in_memory: bool = False):
+    def __new__(cls, path: str, in_memory: bool = False,
+                use_native: bool = True):
+        if use_native and cls is FeatureStoreReader:
+            try:
+                from gstx.native import NativeFeatureStore, load_library
+
+                if load_library() is not None:
+                    return NativeFeatureStore(path)
+            except Exception:
+                pass
+        return super().__new__(cls)
+
+    def __init__(self, path: str, in_memory: bool = False,
+                 use_native: bool = True):
         self.path = path
         self._file = open(path, "rb")
         self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)

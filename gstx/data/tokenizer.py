@@ -153,11 +153,20 @@ class BertTokenizer:
 
     def __init__(self, vocab_path: Optional[str] = None,
                  vocab: Optional[Dict[str, int]] = None,
-                 do_lower_case: bool = True):
+                 do_lower_case: bool = True, use_native: bool = True):
+        self._native = None
         if vocab is None:
             if vocab_path is None:
                 raise ValueError("need vocab_path or vocab")
             vocab = load_vocab(vocab_path)
+            if use_native and do_lower_case:
+                try:
+                    from gstx.native import NativeWordPiece, load_library
+
+                    if load_library() is not None:
+                        self._native = NativeWordPiece(vocab_path)
+                except Exception:
+                    self._native = None
         self.vocab = vocab
         self.inv_vocab = {v: k for k, v in vocab.items()}
         self.basic = BasicTokenizer(do_lower_case)
@@ -186,6 +195,10 @@ class BertTokenizer:
     def encode(self, text: str) -> List[int]:
         """Token ids WITHOUT special tokens (matches the reference call
         sites, e.g. dataloader_visdial_gen.py:129)."""
+        if self._native is not None:
+            ids = self._native.encode(text)
+            if ids is not None:  # non-ASCII falls through to python
+                return ids
         return self.convert_tokens_to_ids(self.tokenize(text))
 
     def decode(self, ids: Iterable[int], skip_special_tokens: bool = True)\

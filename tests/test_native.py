@@ -1,0 +1,117 @@
+"""Native (C++) fast paths vs. the Python implementations."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import WORDS, make_tokenizer, write_vocab_file
+from gstx.data.feature_store import FeatureStoreReader, make_synthetic_store
+from gstx.native import load_library
+from gstx.native.build import build
+
+
+@pytest.fixture(scope="module")
+def lib():
+    built = load_library(build_if_missing=True)
+    if built is None:
+        pytest.skip("g++ unavailable / native build failed")
+    return built
+
+
+def test_native_feature_store_matches_python(lib, tmp_path):
+    from gstx.native import NativeFeatureStore
+
+    path = str(tmp_path / "s.store")
+    make_synthetic_store(path, [3, 5, 8], num_boxes=6, feat_dim=16,
+                         num_classes=7)
+    py = FeatureStoreReader(path, use_native=False)
+    cc = NativeFeatureStore(path)
+    assert sorted(py.keys()) == sorted(cc.keys())
+    assert len(py) == len(cc) == 3
+    for image_id in (3, 5, 8):
+        f1, n1, l1, lo1, c1 = py[image_id]
+        f2, n2, l2, lo2, c2 = cc[image_id]
+        assert n1 == n2
+        np.testing.assert_allclose(f1, f2, rtol=1e-6)
+        np.testing.assert_allclose(l1, l2, rtol=1e-6)
+        np.testing.assert_allclose(lo1, lo2, rtol=1e-6)
+        np.testing.assert_allclose(c1, c2, rtol=1e-6)
+    assert 99 not in cc
+    with pytest.raises(KeyError):
+        cc[99]
+    py.close()
+    cc.close()
+
+
+def test_reader_auto_selects_native(lib, tmp_path):
+    from gstx.native import NativeFeatureStore
+
+    path = str(tmp_path / "s2.store")
+    make_synthetic_store(path, [1], num_boxes=4, feat_dim=8, num_classes=3)
+    r = FeatureStoreReader(path)
+    assert isinstance(r, NativeFeatureStore)
+    r.close()
+
+
+def test_native_wordpiece_matches_python(lib, tmp_path):
+    from gstx.data.tokenizer import BertTokenizer
+    from gstx.native import NativeWordPiece
+
+    vocab_path = write_vocab_file(str(tmp_path / "vocab.txt"))
+    py = BertTokenizer(vocab_path=vocab_path, use_native=False)
+    cc = NativeWordPiece(vocab_path)
+
+    rng = np.random.RandomState(0)
+    for _ in range(200):
+        n = rng.randint(1, 12)
+        words = [WORDS[i] for i in rng.randint(0, 36, size=n)]
+        text = " ".join(words)
+        if rng.rand() < 0.5:
+            text = text.capitalize() + rng.choice([".", "?", "!", ","])
+        got = cc.encode(text)
+        want = py.encode(text)
+        assert got == want, (text, got, want)
+
+    # subwords + unknown + punctuation fuzz
+    for text in ("riders playing", "xyzzy !", "a,b,c", "HELLO?", "  ", "a"):
+        assert cc.encode(text) == py.encode(text), text
+
+    # non-ASCII -> native declines
+    assert cc.encode("café") is None
+
+
+def test_tokenizer_auto_uses_native(lib, tmp_path):
+    from gstx.data.tokenizer import BertTokenizer
+
+    vocab_path = write_vocab_file(str(tmp_path / "vocab.txt"))
+    tok = BertTokenizer(vocab_path=vocab_path)
+    assert tok._native is not None
+    # non-ASCII falls back to python silently
+    assert tok.encode("café") == BertTokenizer(
+        vocab_path=vocab_path, use_native=False).encode("café")
+    assert tok.encode("a man riding") == BertTokenizer(
+        vocab_path=vocab_path, use_native=False).encode("a man riding")
+
+
+def test_native_throughput_sanity(lib, tmp_path):
+    """The native paths must not be slower than python (smoke check)."""
+    import time
+
+    from gstx.data.tokenizer import BertTokenizer
+    from gstx.native import NativeWordPiece
+
+    vocab_path = write_vocab_file(str(tmp_path / "vocab.txt"))
+    py = BertTokenizer(vocab_path=vocab_path, use_native=False)
+    cc = NativeWordPiece(vocab_path)
+    texts = [" ".join(WORDS[:30])] * 300
+
+    t0 = time.time()
+    for t in texts:
+        py.encode(t)
+    py_dt = time.time() - t0
+    t0 = time.time()
+    for t in texts:
+        cc.encode(t)
+    cc_dt = time.time() - t0
+    assert cc_dt < py_dt, (cc_dt, py_dt)
