@@ -1,0 +1,97 @@
+"""CLI: generative self-training orchestration.
+
+The GST loop (reference README.md:87-128, run manually there as a sequence
+of script invocations) as one orchestrator:
+
+  for iteration n = 1..N:
+    1. generate: questioner + teacher synthesize 10-round dialogs for every
+       CC12M chunk (cli/generate, writes iter{n}/cc12m_dialogs_{c}.txt)
+    2. train student on all synthetic chunks so far with perplexity-based
+       selection (cli/train_gen -mode cc12m_train -select_data -iter n)
+    3. finetune the student on VisDial (cli/train_gen -mode vd_train)
+    4. the student becomes the next iteration's teacher
+
+Each stage shells through the same CLIs a user would run, so the
+orchestrator is a convenience, not a separate code path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None, dry_run=False):
+    p = argparse.ArgumentParser(description="gstx self-training loop")
+    p.add_argument("-iterations", type=int, default=3)
+    p.add_argument("-chunks", type=int, default=30)
+    p.add_argument("-start_path_q", required=True,
+                   help="questioner checkpoint")
+    p.add_argument("-start_path_a", required=True,
+                   help="initial teacher checkpoint")
+    p.add_argument("-cc12m_image_feats", required=True,
+                   help="dir with cc12m_img_feat_{c}.store")
+    p.add_argument("-cc12m_caption_dir", required=True,
+                   help="dir with cc12m_captions_{c}.json")
+    p.add_argument("-dialog_root", required=True,
+                   help="output dir for iter{n}/cc12m_dialogs_{c}.txt")
+    p.add_argument("-save_path", required=True)
+    p.add_argument("-extra", nargs=argparse.REMAINDER, default=[],
+                   help="extra flags forwarded to every stage")
+    args = p.parse_args(argv)
+
+    plan = []
+    teacher = args.start_path_a
+    for n in range(1, args.iterations + 1):
+        iter_dir = os.path.join(args.dialog_root, f"iter{n}")
+        for c in range(args.chunks):
+            plan.append([
+                "gstx.cli.generate", "-mode", "cc12m_gen",
+                "-start_path_q", args.start_path_q,
+                "-start_path_a", teacher,
+                "-cc12m_image_feats",
+                os.path.join(args.cc12m_image_feats,
+                             f"cc12m_img_feat_{c}.store"),
+                "-cc12m_caption",
+                os.path.join(args.cc12m_caption_dir,
+                             f"cc12m_captions_{c}.json"),
+                "-save_path", iter_dir,
+                "-save_name", f"cc12m_dialogs_{c}.txt",
+            ] + args.extra)
+        student_dir = os.path.join(args.save_path, f"student_iter{n}")
+        plan.append([
+            "gstx.cli.train_gen", "-mode", "cc12m_train", "-select_data",
+            "-iter", str(n), "-chunk", str(args.chunks),
+            "-cc12m_processed_train", args.dialog_root + "/",
+            "-cc12m_image_feats",
+            args.cc12m_image_feats + "/",
+            "-save_path", student_dir,
+        ] + args.extra)
+        finetune_dir = os.path.join(args.save_path, f"finetune_iter{n}")
+        plan.append([
+            "gstx.cli.train_gen", "-mode", "vd_train",
+            "-start_path", student_dir, "-continue",
+            "-save_path", finetune_dir,
+        ] + args.extra)
+        teacher = finetune_dir
+
+    if dry_run:
+        return plan
+
+    import runpy
+    import sys
+
+    for stage in plan:
+        module, stage_args = stage[0], stage[1:]
+        print(f"[selftrain] python -m {module} {' '.join(stage_args)}")
+        old_argv = sys.argv
+        sys.argv = [module] + stage_args
+        try:
+            runpy.run_module(module, run_name="__main__")
+        finally:
+            sys.argv = old_argv
+    return plan
+
+
+if __name__ == "__main__":
+    main()
