@@ -37,6 +37,14 @@ def enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def apply_runtime_flags(config):
+    """Honor runtime feature flags (currently: Pallas kernels)."""
+    if config.use_pallas:
+        from gstx.kernels import attention as pk
+
+        pk.enable(True)
+
+
 def build_tokenizer(config: GSTConfig) -> BertTokenizer:
     return BertTokenizer(vocab_path=config.vocab_path)
 

@@ -8,6 +8,7 @@ import os
 import pprint
 
 from gstx.cli.common import (
+    apply_runtime_flags,
     build_model,
     build_tokenizer,
     enable_compile_cache,
@@ -28,6 +29,7 @@ def main(argv=None, max_batches=None, chunk_size=200):
     assert config.start_path != ""
     os.makedirs(config.save_path, exist_ok=True)
     enable_compile_cache()
+    apply_runtime_flags(config)
 
     eval_batch_size = 20 if config.vd_version == "1.0" else 25
     save_name = config.save_name or "performance_log.txt"

@@ -11,6 +11,7 @@ import pprint
 import numpy as np
 
 from gstx.cli.common import (
+    apply_runtime_flags,
     build_model,
     build_tokenizer,
     enable_compile_cache,
@@ -31,6 +32,7 @@ def main(argv=None, max_batches=None):
     assert config.start_path != ""
     os.makedirs(config.save_path, exist_ok=True)
     enable_compile_cache()
+    apply_runtime_flags(config)
 
     # batch size 1 for v1.0 (evaluate_gen_attack.py:378)
     eval_batch_size = 1 if config.vd_version == "1.0" else 25

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gstx.cli.common import (
+    apply_runtime_flags,
     build_model,
     build_tokenizer,
     enable_compile_cache,
@@ -44,6 +45,7 @@ def main(argv=None, max_batches=None):
     assert config.start_path_q and config.start_path_a
     os.makedirs(config.save_path, exist_ok=True)
     enable_compile_cache()
+    apply_runtime_flags(config)
 
     tokenizer = build_tokenizer(config)
     if config.mode == "vd_gen_val":

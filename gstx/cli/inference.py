@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gstx.cli.common import (
+    apply_runtime_flags,
     build_model,
     build_tokenizer,
     enable_compile_cache,
@@ -33,6 +34,7 @@ def main(argv=None, input_fn=input, output_fn=print, max_turns=None):
     pprint.pprint(config)
     assert config.start_path != "", "need -start_path (answerer checkpoint)"
     enable_compile_cache()
+    apply_runtime_flags(config)
 
     tokenizer = build_tokenizer(config)
     dataset = VisdialGenDataset(config, tokenizer, mode="vd_gen_val")

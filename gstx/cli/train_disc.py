@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from gstx.cli.common import (
+    apply_runtime_flags,
     build_model,
     build_tokenizer,
     enable_compile_cache,
@@ -41,6 +42,7 @@ def main(argv=None, max_steps=None):
     assert config.model == "enc_only_a"
     os.makedirs(config.save_path, exist_ok=True)
     enable_compile_cache()
+    apply_runtime_flags(config)
 
     logger = Logger(os.path.join(config.save_path, "log_disc.txt"))
     metrics_writer = MetricsWriter(

@@ -11,8 +11,8 @@ from __future__ import annotations
 
 import pprint
 
-from gstx.cli.common import build_tokenizer, enable_compile_cache, \
-    parse_config
+from gstx.cli.common import apply_runtime_flags, \
+    build_tokenizer, enable_compile_cache, parse_config
 from gstx.train.train_gen import train_gen
 
 
@@ -22,6 +22,7 @@ def main(argv=None, max_steps=None):
     assert config.mode in ("vd_train", "cc12m_train")
     assert config.model in ("enc_dec_a", "enc_dec_q")
     enable_compile_cache()
+    apply_runtime_flags(config)
 
     tokenizer = build_tokenizer(config)
     if config.mode == "vd_train":
