@@ -85,19 +85,30 @@ def main(argv=None, max_batches=None):
     rng = jax.random.PRNGKey(config.seed)
     gen_data = []
     t0 = time.time()
-    for idx, batch in enumerate(loader.epoch(0)):
-        if max_batches is not None and idx >= max_batches:
-            break
+
+    # double-buffered dispatch: batch i+1's rounds launch while batch i's
+    # results transfer/decode on the host (JAX async dispatch)
+    pending = []
+
+    def dispatch(idx, batch):
+        nonlocal rng
         rng, key = jax.random.split(rng)
         dev = {k: jnp.asarray(v) for k, v in batch.items()
                if k != "image_id"}
         out = engine(q_params, a_params, dev, key)
-        questions = np.asarray(out.questions)  # [R, B, T]
-        answers = np.asarray(out.answers)
-        ppls = np.asarray(out.answer_ppl)
-        abnormal = np.asarray(out.abnormal)
-        image_ids = np.asarray(batch["image_id"])[:, 0]
+        pending.append((idx, batch, out))
 
+    def drain():
+        idx, batch, out = pending.pop(0)
+        consume(idx, batch,
+                np.asarray(out.questions), np.asarray(out.answers),
+                np.asarray(out.answer_ppl), np.asarray(out.abnormal))
+
+    def consume(idx, batch, questions, answers, ppls, abnormal):
+        image_ids = np.asarray(batch["image_id"])[:, 0]
+        _collect(idx, image_ids, questions, answers, ppls, abnormal)
+
+    def _collect(idx, image_ids, questions, answers, ppls, abnormal):
         for j in range(len(image_ids)):
             if abnormal[j]:
                 continue  # generate.py:236-237
@@ -125,6 +136,15 @@ def main(argv=None, max_batches=None):
             done = (idx + 1) * config.batch_size
             rate = done / (time.time() - t0)
             print(f"[generate] {done} images, {rate:.1f} img/s")
+
+    for idx, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and idx >= max_batches:
+            break
+        dispatch(idx, batch)
+        if len(pending) >= 2:
+            drain()
+    while pending:
+        drain()
 
     out_path = os.path.join(config.save_path, config.save_name)
     json.dump(gen_data, open(out_path, "w"))
