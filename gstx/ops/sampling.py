@@ -95,9 +95,16 @@ def ngram_block(
     has_special = jnp.any(
         windows[..., :, None] == specials[None, None, None, :], axis=(-1, -2))
 
-    # generated tail: last n-1 valid tokens of dec_input_ids
+    # generated tail: last n-1 valid tokens of dec_input_ids (buffer padded
+    # on the right so the slice is valid even for short prefixes, which the
+    # cur_len >= n-1 gate below nulls anyway)
+    if dec_input_ids.shape[1] < n - 1:
+        dec_input_ids = jnp.pad(
+            dec_input_ids, ((0, 0), (0, n - 1 - dec_input_ids.shape[1])))
     tail = jax.lax.dynamic_slice_in_dim(
-        dec_input_ids, jnp.maximum(cur_len - (n - 1), 0), n - 1, axis=1)
+        dec_input_ids, jnp.clip(cur_len - (n - 1), 0,
+                                dec_input_ids.shape[1] - (n - 1)),
+        n - 1, axis=1)
     match = jnp.all(windows[..., : n - 1] == tail[:, None, :], axis=-1)
     active = jnp.logical_and(match, jnp.logical_not(has_special))
     active = jnp.logical_and(active, cur_len >= (n - 1))

@@ -1,0 +1,121 @@
+"""Decode-loop equivalence under greedy settings (SURVEY.md §4): the jitted
+KV-cached sampler must produce exactly the sequence that the reference's
+cache-less loop (full decoder re-forward per token,
+visual_dialog_model.py:86-111) produces when top_k=1 makes sampling
+deterministic."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gstx.core.config import CLS_ID, PAD_ID, SEP_ID
+from gstx.decode.sampler import DecodeSettings, init_cache, sample_sequence
+from gstx.models.encdec import GSTVisualDialog
+from gstx.ops.sampling import ngram_block, pad_after_eos, top_k_top_p_filter
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_configs):
+    enc_cfg, dec_cfg = tiny_configs
+    model = GSTVisualDialog(enc_cfg, dec_cfg)
+    rng = np.random.RandomState(0)
+    b, l, r = 3, 24, 5
+    batch = dict(
+        input_ids=jnp.asarray(rng.randint(1, 100, (b, l)), jnp.int32),
+        image_feat=jnp.asarray(rng.rand(b, r, enc_cfg.v_feature_size),
+                               jnp.float32),
+        image_loc=jnp.asarray(rng.rand(b, r, 5), jnp.float32),
+        token_type_ids=jnp.zeros((b, l), jnp.int32),
+        attention_mask=jnp.ones((b, l), jnp.int32),
+        image_attention_mask=jnp.ones((b, r), jnp.int32),
+        dec_input_ids=jnp.ones((b, 6), jnp.int32),
+        dec_attention_mask=jnp.ones((b, 6), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), **batch,
+                        method=GSTVisualDialog.init_all)
+    return model, params, batch, dec_cfg
+
+
+def reference_style_decode(model, params, batch, max_steps, ngram_size,
+                           ngram_source):
+    """Cache-less loop: grow dec_input_ids, FULL decoder forward per step,
+    temperature + ngram + top-k filter, take the argmax (== multinomial with
+    a single surviving candidate)."""
+    b = batch["input_ids"].shape[0]
+    hidden_t, hidden_v, _, _ = model.apply(
+        params, batch["input_ids"], batch["image_feat"], batch["image_loc"],
+        batch["token_type_ids"], batch["attention_mask"],
+        batch["image_attention_mask"], method=GSTVisualDialog.encode)
+    memory, memory_mask = model.apply(
+        params, hidden_t, hidden_v, batch["attention_mask"],
+        batch["image_attention_mask"], method=GSTVisualDialog.fuse)
+
+    dec = np.full((b, 1), CLS_ID, np.int32)
+    seq = []
+    for i in range(max_steps):
+        logits = model.apply(
+            params, jnp.asarray(dec), jnp.ones_like(jnp.asarray(dec)),
+            memory, memory_mask, method=GSTVisualDialog.decode_logits)
+        step_logits = np.asarray(logits[:, -1, :], np.float64) / 0.7
+        filtered = ngram_block(jnp.asarray(step_logits), ngram_source,
+                               jnp.asarray(dec), dec.shape[1], ngram_size)
+        filtered = top_k_top_p_filter(filtered, top_k=1)
+        nxt = np.asarray(jnp.argmax(filtered, -1), np.int32)
+        dec = np.concatenate([dec, nxt[:, None]], axis=1)
+        seq.append(nxt)
+    seq = np.stack(seq, 1)
+    return np.asarray(pad_after_eos(jnp.asarray(seq), SEP_ID, PAD_ID))
+
+
+def test_greedy_cached_equals_cacheless(setup):
+    model, params, batch, dec_cfg = setup
+    b = batch["input_ids"].shape[0]
+    max_steps = 8
+    ngram_source = batch["input_ids"] * (batch["token_type_ids"] == 0)
+
+    want = reference_style_decode(model, params, batch, max_steps, 3,
+                                  ngram_source)
+
+    mem_kv, mem_mask = model.apply(
+        params, batch["input_ids"], batch["image_feat"], batch["image_loc"],
+        batch["token_type_ids"], batch["attention_mask"],
+        batch["image_attention_mask"],
+        method=GSTVisualDialog.decode_prepare)
+
+    def step_fn(tok, pos, caches):
+        return model.apply(params, tok, pos, caches, mem_kv, mem_mask,
+                           method=GSTVisualDialog.decode_step)
+
+    caches = init_cache(dec_cfg, b, max_steps + 1)
+    got = np.asarray(sample_sequence(
+        step_fn, jax.random.PRNGKey(7), b, caches,
+        DecodeSettings(max_steps=max_steps, temperature=0.7, top_k=1,
+                       ngram_blocking_size=3),
+        ngram_source=ngram_source, bos_id=CLS_ID, eos_id=SEP_ID))
+
+    np.testing.assert_array_equal(got, want)
+
+
+def test_greedy_equivalence_without_ngram(setup):
+    model, params, batch, dec_cfg = setup
+    b = batch["input_ids"].shape[0]
+    max_steps = 8
+    want = reference_style_decode(model, params, batch, max_steps, 0, None)
+
+    mem_kv, mem_mask = model.apply(
+        params, batch["input_ids"], batch["image_feat"], batch["image_loc"],
+        batch["token_type_ids"], batch["attention_mask"],
+        batch["image_attention_mask"],
+        method=GSTVisualDialog.decode_prepare)
+
+    def step_fn(tok, pos, caches):
+        return model.apply(params, tok, pos, caches, mem_kv, mem_mask,
+                           method=GSTVisualDialog.decode_step)
+
+    caches = init_cache(dec_cfg, b, max_steps + 1)
+    got = np.asarray(sample_sequence(
+        step_fn, jax.random.PRNGKey(3), b, caches,
+        DecodeSettings(max_steps=max_steps, temperature=0.7, top_k=1,
+                       ngram_blocking_size=0),
+        bos_id=CLS_ID, eos_id=SEP_ID))
+    np.testing.assert_array_equal(got, want)
