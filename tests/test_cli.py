@@ -144,3 +144,43 @@ def test_cli_attack_random_token(cli_env):
                            "-start_path", ckpt, "-mask_prob", "0.3"],
                    max_batches=1)
     assert "mrr" in metrics
+
+
+@pytest.mark.slow
+def test_cli_train_gen_cc12m_chunks(cli_env, tmp_path_factory):
+    """cc12m_train mode: chunked synthetic-dialog training with ppl
+    selection (train_gen.py:160-178 layout)."""
+    import numpy as np
+    from fixtures import make_cc12m_dialog_json
+    from gstx.data.feature_store import make_synthetic_store
+    from gstx.cli.train_gen import main
+
+    args, cfg, ckpt = cli_env
+    root = str(tmp_path_factory.mktemp("cc12m"))
+    feat_dir = os.path.join(root, "feats")
+    dlg_dir = os.path.join(root, "dialogs")
+    os.makedirs(feat_dir)
+    os.makedirs(os.path.join(dlg_dir, "iter1"))
+    for c in range(2):
+        ids = [3000 + 10 * c + i for i in range(3)]
+        make_synthetic_store(
+            os.path.join(feat_dir, f"cc12m_img_feat_{c}.store"), ids,
+            num_boxes=12, feat_dim=16, num_classes=11)
+        data = make_cc12m_dialog_json(
+            os.path.join(dlg_dir, "iter1", f"cc12m_dialogs_{c}.txt"), 3,
+            seed=c)
+        # rewrite image ids to match the per-chunk store
+        import json as _json
+        for rec, img in zip(data, ids):
+            rec["image_id"] = img
+        _json.dump(data, open(
+            os.path.join(dlg_dir, "iter1", f"cc12m_dialogs_{c}.txt"), "w"))
+
+    params, opt_state = main(
+        args + ["-mode", "cc12m_train", "-model", "enc_dec_a",
+                "-chunk", "2", "-iter", "1", "-select_data",
+                "-cc12m_image_feats", feat_dir + "/",
+                "-cc12m_processed_train", dlg_dir + "/",
+                "-batch_size", "4", "-num_epochs", "1", "-log_every", "1"],
+        max_steps=2)
+    assert params is not None
