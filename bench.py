@@ -33,6 +33,9 @@ def main():
     parser.add_argument("-repeats", type=int, default=2)
     parser.add_argument("-cpu", action="store_true",
                         help="force CPU (debug only)")
+    parser.add_argument("-context_buckets", type=str, default="128,192",
+                        help="comma-separated context widths for early "
+                             "rounds; '' disables")
     args = parser.parse_args()
 
     import jax
@@ -97,7 +100,9 @@ def main():
                                   top_p=0.0, ngram_blocking_size=4),
         a_settings=DecodeSettings(max_steps=18, temperature=0.7, top_k=7,
                                   top_p=0.0, ngram_blocking_size=0),
-        dtype=dtype)
+        dtype=dtype,
+        context_buckets=tuple(int(x) for x in
+                              args.context_buckets.split(",") if x))
 
     def run(key):
         """NOTE: on this sandbox's tunnel platform block_until_ready returns

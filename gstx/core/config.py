@@ -222,6 +222,8 @@ class GSTConfig:
     ngram_blocking_size: int = 4
     num_dialog_rounds: int = 10
     max_regions: int = 37
+    context_buckets: str = ""  # e.g. "128,192": smaller context widths for
+    # early dialog rounds (exact math, lower encoder cost)
 
     # --- TPU-specific ---
     dtype: str = "bfloat16"  # activation dtype on TPU; use float32 for parity
@@ -246,6 +248,11 @@ class GSTConfig:
 
     def replace(self, **kw) -> "GSTConfig":
         return dataclasses.replace(self, **kw)
+
+    def context_bucket_tuple(self):
+        if not self.context_buckets:
+            return ()
+        return tuple(int(x) for x in self.context_buckets.split(",") if x)
 
 
 def add_config_args(parser, cls=GSTConfig):

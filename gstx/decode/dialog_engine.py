@@ -101,6 +101,7 @@ def make_dialog_engine(
     q_settings: DecodeSettings = DecodeSettings(ngram_blocking_size=4),
     a_settings: DecodeSettings = DecodeSettings(ngram_blocking_size=0),
     dtype=jnp.float32,
+    context_buckets: Tuple[int, ...] = (),
 ):
     """Build the jittable dialog-generation function.
 
@@ -108,6 +109,14 @@ def make_dialog_engine(
     ``batch`` is a dict with enc_input_ids, enc_segments, image features /
     locations / mask (the cc12m_gen / vd_gen_val batch layout,
     dataloader_cc12m_gen.py:55-102).
+
+    ``context_buckets``: optional ascending context widths (e.g. (128, 192))
+    smaller than the full buffer.  Early rounds whose worst-case context
+    fits a bucket run a round program compiled at that width — identical
+    math (fully-masked tail positions contribute exactly 0 after softmax
+    underflow) at a fraction of the encoder cost.  Each bucket adds one
+    compiled round variant; the actual bucket is chosen per round from the
+    batch's real maximum context length (one scalar device->host sync).
     """
 
     def decode_utterance(params, state, image, rng, settings, ngram_source):
@@ -172,6 +181,14 @@ def make_dialog_engine(
         return state, ques, answ, ppl
 
     jitted_round = jax.jit(one_round)
+    # context growth bound per round: Q (incl. EOS) + A tokens
+    growth = q_settings.max_steps + a_settings.max_steps
+
+    def _widen(state: DialogState, pad: int) -> DialogState:
+        return state._replace(
+            enc_input_ids=jnp.pad(state.enc_input_ids, ((0, 0), (0, pad))),
+            enc_segments=jnp.pad(state.enc_segments, ((0, 0), (0, pad))),
+        )
 
     def engine(q_params, a_params, batch, rng,
                round_fn=None) -> DialogOutput:
@@ -181,15 +198,39 @@ def make_dialog_engine(
             "loc": batch["enc_image_loc"],
             "mask": batch["enc_image_mask"],
         }
+        full_s = batch["enc_input_ids"].shape[1]
+        buckets = sorted(b for b in set(context_buckets) if b < full_s)
+        buckets.append(full_s)
+
         state = DialogState(
             enc_input_ids=batch["enc_input_ids"].astype(jnp.int32),
             enc_segments=batch["enc_segments"].astype(jnp.int32),
             enc_len=(batch["enc_input_ids"] != PAD_ID).sum(-1).astype(jnp.int32),
             abnormal=jnp.zeros(batch["enc_input_ids"].shape[0], dtype=bool),
         )
+        init_max = 0
+        if len(buckets) > 1:
+            # ONE host sync up front; afterwards the bucket schedule is
+            # static (worst-case growth per round) so round dispatches
+            # pipeline without device->host round-trips.  Identical math:
+            # the valid prefix is unchanged, masked tail softmaxes to
+            # exactly 0.
+            init_max = int(jnp.max(state.enc_len))
+            start = next((b for b in buckets
+                          if b >= min(init_max + growth, full_s)), full_s)
+            state = state._replace(
+                enc_input_ids=state.enc_input_ids[:, :start],
+                enc_segments=state.enc_segments[:, :start])
 
         qs, ans, ppls = [], [], []
-        for _ in range(num_rounds):
+        for rnd_idx in range(num_rounds):
+            if len(buckets) > 1:
+                cur_w = state.enc_input_ids.shape[1]
+                worst = init_max + (rnd_idx + 1) * growth
+                target = next((b for b in buckets if b >= worst), full_s)
+                target = max(target, cur_w)
+                if target > cur_w:
+                    state = _widen(state, target - cur_w)
             rng, rnd_rng = jax.random.split(rng)
             state, ques, answ, ppl = round_fn(q_params, a_params, state,
                                               image, rnd_rng)
@@ -197,6 +238,8 @@ def make_dialog_engine(
             ans.append(answ)
             ppls.append(ppl)
 
+        if state.enc_input_ids.shape[1] < full_s:
+            state = _widen(state, full_s - state.enc_input_ids.shape[1])
         return DialogOutput(
             questions=jnp.stack(qs),
             answers=jnp.stack(ans),

@@ -124,3 +124,60 @@ def test_dialog_engine_full_loop(tmp_path, tiny_configs):
     for i in range(2):
         appended = final_ids[i, init_len[i]:final_len[i]]
         assert (appended != 0).any()
+
+
+@pytest.mark.slow
+def test_context_buckets_equal_full_width(tmp_path, tiny_configs):
+    """Bucketed engine must produce the identical dialog (greedy) as the
+    full-width engine — masked tail positions are exact zeros."""
+    import dataclasses
+
+    cfg = make_visdial_env(str(tmp_path))
+    tok = make_tokenizer()
+    enc_cfg, dec_cfg = tiny_configs
+    enc_cfg = dataclasses.replace(enc_cfg, vocab_size=256)
+    dec_cfg = dataclasses.replace(dec_cfg, vocab_size=256)
+    model = GSTVisualDialog(enc_cfg, dec_cfg)
+
+    ds = VisdialGenDataset(cfg, tok, mode="vd_gen_val")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = {k: jnp.asarray(v) for k, v in next(dl.epoch(0)).items()
+             if k != "image_id"}
+
+    b, l, r = 2, cfg.max_seq_len, cfg.max_regions
+    init_batch = dict(
+        input_ids=jnp.ones((b, l), jnp.int32),
+        image_feat=jnp.ones((b, r, enc_cfg.v_feature_size)),
+        image_loc=jnp.ones((b, r, 5)),
+        token_type_ids=jnp.zeros((b, l), jnp.int32),
+        attention_mask=jnp.ones((b, l), jnp.int32),
+        image_attention_mask=jnp.ones((b, r), jnp.int32),
+        dec_input_ids=jnp.ones((b, 4), jnp.int32),
+        dec_attention_mask=jnp.ones((b, 4), jnp.int32))
+    q_params = model.init(jax.random.PRNGKey(0), **init_batch,
+                          method=GSTVisualDialog.init_all)
+    a_params = model.init(jax.random.PRNGKey(1), **init_batch,
+                          method=GSTVisualDialog.init_all)
+
+    greedy_q = DecodeSettings(max_steps=5, top_k=1, ngram_blocking_size=4)
+    greedy_a = DecodeSettings(max_steps=5, top_k=1, ngram_blocking_size=0)
+    full = make_dialog_engine(model, dec_cfg, num_rounds=3,
+                              q_settings=greedy_q, a_settings=greedy_a)
+    bucketed = make_dialog_engine(model, dec_cfg, num_rounds=3,
+                                  q_settings=greedy_q, a_settings=greedy_a,
+                                  context_buckets=(48, 72))
+
+    rng = jax.random.PRNGKey(11)
+    out_full = full(q_params, a_params, batch, rng)
+    out_buck = bucketed(q_params, a_params, batch, rng)
+    np.testing.assert_array_equal(np.asarray(out_full.questions),
+                                  np.asarray(out_buck.questions))
+    np.testing.assert_array_equal(np.asarray(out_full.answers),
+                                  np.asarray(out_buck.answers))
+    np.testing.assert_allclose(np.asarray(out_full.answer_ppl),
+                               np.asarray(out_buck.answer_ppl),
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_full.abnormal),
+                                  np.asarray(out_buck.abnormal))
+    assert out_buck.final_state.enc_input_ids.shape == \
+        out_full.final_state.enc_input_ids.shape
