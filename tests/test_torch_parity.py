@@ -327,3 +327,111 @@ def test_full_converter_accepts_torch_names(enc_cfg):
     np.testing.assert_array_equal(
         tree["encoder"]["embeddings"]["word_embeddings"]["embedding"],
         sd[f"{bert}.embeddings.word_embeddings.weight"])
+
+
+class TorchDecoderLayer(nn.Module):
+    """HF BertLayer with crossattention as instantiated by the reference
+    decoder (visual_dialog_decoder.py:116-323): self-attn -> cross-attn ->
+    FFN, post-LN residuals, reference parameter names."""
+
+    def __init__(self, d, heads, inter):
+        super().__init__()
+        self.heads, self.dh = heads, d // heads
+        self.attention = TorchSelfAttn(d, heads)
+        self.crossattention = nn.Module()
+        ca = self.crossattention
+        ca.self = nn.Module()
+        ca.self.query = nn.Linear(d, d)
+        ca.self.key = nn.Linear(d, d)
+        ca.self.value = nn.Linear(d, d)
+        ca.output = nn.Module()
+        ca.output.dense = nn.Linear(d, d)
+        ca.output.LayerNorm = TorchLN(d)
+        self.intermediate = nn.Module()
+        self.intermediate.dense = nn.Linear(d, inter)
+        self.output = nn.Module()
+        self.output.dense = nn.Linear(inter, d)
+        self.output.LayerNorm = TorchLN(d)
+
+    def _split(self, x):
+        b, l, _ = x.shape
+        return x.view(b, l, self.heads, self.dh).permute(0, 2, 1, 3)
+
+    def forward(self, x, self_mask, memory, mem_mask):
+        h = self.attention(x, self_mask)
+        ca = self.crossattention
+        q = self._split(ca.self.query(h))
+        k = self._split(ca.self.key(memory))
+        v = self._split(ca.self.value(memory))
+        scores = q @ k.transpose(-1, -2) / math.sqrt(self.dh) + mem_mask
+        ctx = (torch.softmax(scores, -1) @ v).permute(0, 2, 1, 3)
+        ctx = ctx.reshape(h.shape)
+        h = ca.output.LayerNorm(ca.output.dense(ctx) + h)
+        f = torch_gelu(self.intermediate.dense(h))
+        return self.output.LayerNorm(self.output.dense(f) + h)
+
+
+def test_decoder_layer_torch_parity():
+    """Decoder layer (causal self + cross attention): torch reference math
+    vs the converted Flax DecoderLayer, both full-sequence and one KV-cached
+    step."""
+    torch.manual_seed(3)
+    d, heads, inter, L, M = 16, 2, 32, 6, 9
+    layer = TorchDecoderLayer(d, heads, inter)
+    x = torch.randn(2, L, d)
+    memory = torch.randn(2, M, d)
+    # causal mask
+    causal = torch.tril(torch.ones(L, L))
+    self_mask = (1.0 - causal)[None, None] * -10000.0
+    mem_mask = torch.where(torch.rand(2, 1, 1, M) > 0.3, torch.zeros(1),
+                           torch.full((1,), -10000.0))
+    with torch.no_grad():
+        want = layer(x, self_mask, memory, mem_mask).numpy()
+
+    sd = _named_sd(layer, "decoder.decoder.bert.encoder.layer.0")
+    from gstx.core.checkpoint import _dense, _ln, _qkv_kernel
+    src = "decoder.decoder.bert.encoder.layer.0"
+    k, b = _qkv_kernel(sd, f"{src}.attention.self")
+    kc, bc = _qkv_kernel(sd, f"{src}.crossattention.self", ("key", "value"))
+    tree = {
+        "qkv": {"kernel": k, "bias": b},
+        "self_out": _dense(sd, f"{src}.attention.output.dense"),
+        "self_ln": _ln(sd, f"{src}.attention.output.LayerNorm"),
+        "cross_q": _dense(sd, f"{src}.crossattention.self.query"),
+        "cross_kv": {"kernel": kc, "bias": bc},
+        "cross_out": _dense(sd, f"{src}.crossattention.output.dense"),
+        "cross_ln": _ln(sd, f"{src}.crossattention.output.LayerNorm"),
+        "intermediate": _dense(sd, f"{src}.intermediate.dense"),
+        "output": _dense(sd, f"{src}.output.dense"),
+        "output_ln": _ln(sd, f"{src}.output.LayerNorm"),
+    }
+
+    from gstx.core.config import DecoderConfig
+    from gstx.models.decoder import DecoderLayer
+
+    cfg = DecoderConfig(vocab_size=100, hidden_size=d, num_hidden_layers=1,
+                        num_attention_heads=heads, intermediate_size=inter,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    fl = DecoderLayer(cfg)
+    got = fl.apply({"params": tree}, jnp.asarray(x.numpy()),
+                   jnp.asarray(self_mask.numpy().astype(np.float32)),
+                   jnp.asarray(memory.numpy()),
+                   jnp.asarray(mem_mask.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # KV-cached stepping reproduces position 0..L-1 outputs
+    import jax as _jax
+
+    mem_k, mem_v = fl.apply({"params": tree}, jnp.asarray(memory.numpy()),
+                            method=DecoderLayer.memory_kv)
+    cache = {"k": jnp.zeros((2, heads, L, d // heads)),
+             "v": jnp.zeros((2, heads, L, d // heads))}
+    outs = []
+    for pos in range(L):
+        out, cache = fl.apply(
+            {"params": tree}, jnp.asarray(x.numpy()[:, pos:pos + 1]), pos,
+            cache, mem_k, mem_v, jnp.asarray(mem_mask.numpy()),
+            method=DecoderLayer.step)
+        outs.append(np.asarray(out)[:, 0])
+    np.testing.assert_allclose(np.stack(outs, 1), want, rtol=1e-4, atol=1e-4)
