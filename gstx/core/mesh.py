@@ -23,6 +23,53 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization over DCN (SURVEY.md §2.6: the TPU answer to
+    the reference's absent distributed backend).  No-op when single-process
+    or when jax.distributed is already initialized; on Cloud TPU pods the
+    arguments are auto-detected from the environment."""
+    import jax.distributed
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (ValueError, RuntimeError):
+        # single-process / already-initialized environments
+        pass
+
+
+def process_shard(n_items: int, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None) -> np.ndarray:
+    """Deterministic per-host slice of dataset indices (multi-host data
+    loading: each host reads only its stripe; batch dims then assemble into
+    a global array via make_global_batch)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return np.arange(process_index, n_items, process_count)
+
+
+def make_global_batch(mesh: Mesh, local_tree):
+    """Assemble per-host local batches into globally-sharded arrays
+    (jax.make_array_from_process_local_data over the data axis)."""
+    sh = batch_sharding(mesh)
+
+    def assemble(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, x)
+
+    return jax.tree_util.tree_map(assemble, local_tree)
+
+
 def make_mesh(
     data_parallel: int = -1,
     model_parallel: int = 1,

@@ -26,7 +26,11 @@ def collate(items) -> Dict[str, np.ndarray]:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        """``process_index/process_count``: multi-host striping — each host
+        iterates only its slice of the (identically shuffled) global order,
+        so per-host batches concatenate into a consistent global batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -34,18 +38,26 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
+
+    def _order(self, epoch_id: int) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            # same seed on every host -> identical global order
+            np.random.RandomState(self.seed + epoch_id).shuffle(order)
+        return order[self.process_index::self.process_count]
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._order(0))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def epoch(self, epoch_id: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            np.random.RandomState(self.seed + epoch_id).shuffle(order)
+        order = self._order(epoch_id)
+        n = len(order)
         nb = len(self)
 
         def fetch(i):

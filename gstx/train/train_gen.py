@@ -155,16 +155,24 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
     bsh = batch_sharding(mesh)
 
     step_fn = make_train_step(model, optimizer, config.batch_size)
-    loader = DataLoader(dataset, batch_size=config.batch_size, shuffle=True,
-                        num_workers=config.num_workers, seed=config.seed)
+    # multi-host: each host loads its stripe of the identically-shuffled
+    # global order; local stripes assemble into globally-sharded arrays
+    n_proc = jax.process_count()
+    local_bs = config.batch_size // n_proc if n_proc > 1 else \
+        config.batch_size
+    loader = DataLoader(dataset, batch_size=local_bs, shuffle=True,
+                        num_workers=config.num_workers, seed=config.seed,
+                        process_index=jax.process_index(),
+                        process_count=n_proc)
 
     start_t = time.time()
     start_epoch = start_iter_id // max(1, num_iter_epoch)
     for epoch_id, idx, batch in batch_iter(loader, config.num_epochs,
                                            start_epoch):
         iter_id = idx + epoch_id * num_iter_epoch
-        dev_batch = {k: jax.device_put(jnp.asarray(v), bsh)
-                     for k, v in batch.items()}
+        from gstx.core.mesh import make_global_batch
+
+        dev_batch = make_global_batch(mesh, batch)
         rng, step_rng = jax.random.split(rng)
         params, opt_state, metrics = step_fn(params, opt_state, dev_batch,
                                              step_rng)

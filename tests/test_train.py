@@ -189,3 +189,29 @@ def test_multichip_train_step(train_env):
     p, opt_state, metrics = step(p, opt_state, dev_batch,
                                  jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["lm_loss"]))
+
+
+def test_process_sharded_loader(train_env):
+    """Multi-host striping: per-process loaders partition the global order
+    and the shuffle is identical across hosts."""
+    from gstx.data.visdial import VisdialGenDataset
+    from gstx.core.mesh import process_shard
+
+    cfg, tok, model, params = train_env
+    ds = VisdialGenDataset(cfg, tok, mode="vd_train")
+    loaders = [DataLoader(ds, batch_size=1, shuffle=True, num_workers=1,
+                          seed=3, process_index=p, process_count=2)
+               for p in range(2)]
+    seen = []
+    for dl in loaders:
+        for b in dl.epoch(0):
+            seen.append(b["enc_input_ids"][0].tobytes())
+    # together the two hosts cover every dialog exactly once
+    assert len(seen) == len(set(seen)) == len(ds)
+    # process_shard covers [0, n) disjointly
+    import numpy as np
+    s0 = process_shard(10, 0, 3)
+    s1 = process_shard(10, 1, 3)
+    s2 = process_shard(10, 2, 3)
+    np.testing.assert_array_equal(np.sort(np.concatenate([s0, s1, s2])),
+                                  np.arange(10))
