@@ -49,12 +49,14 @@ def build_tokenizer(config: GSTConfig) -> BertTokenizer:
     return BertTokenizer(vocab_path=config.vocab_path)
 
 
-def build_model(config: GSTConfig) -> Tuple[GSTVisualDialog, EncoderConfig,
-                                            DecoderConfig]:
+def build_model(config: GSTConfig, use_decoder: bool = True
+                ) -> Tuple[GSTVisualDialog, EncoderConfig, DecoderConfig]:
     enc_cfg = config.encoder_config()
     dec_cfg = config.decoder_config()
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-    return GSTVisualDialog(enc_cfg, dec_cfg, dtype=dtype), enc_cfg, dec_cfg
+    model = GSTVisualDialog(enc_cfg, dec_cfg, use_decoder=use_decoder,
+                            dtype=dtype)
+    return model, enc_cfg, dec_cfg
 
 
 def init_params(model: GSTVisualDialog, config: GSTConfig, seed: int = 0):
@@ -77,10 +79,11 @@ def init_params(model: GSTVisualDialog, config: GSTConfig, seed: int = 0):
 def load_params(model: GSTVisualDialog, config: GSTConfig, path: str,
                 seed: int = 0):
     """Load a checkpoint: orbax dir or reference torch .ckpt file."""
-    params = init_params(model, config, seed)
     if os.path.isdir(path):
         restored = ckpt_lib.restore_checkpoint(path)
         return restored["params"]
+    # torch checkpoint: init a template tree, then overlay converted weights
+    params = init_params(model, config, seed)
     sd = ckpt_lib.load_torch_checkpoint(path)
     enc_cfg, dec_cfg = model.enc_config, model.dec_config
     tree = ckpt_lib.convert_torch_state_dict(

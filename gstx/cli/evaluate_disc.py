@@ -37,7 +37,7 @@ def main(argv=None, max_batches=None, chunk_size=200):
 
     tokenizer = build_tokenizer(config)
     dataset = VisdialDiscDataset(config, tokenizer, mode=config.mode)
-    model, enc_cfg, dec_cfg = build_model(config)
+    model, enc_cfg, dec_cfg = build_model(config, use_decoder=False)
     params = load_params(model, config, config.start_path)
 
     loader = DataLoader(dataset, batch_size=eval_batch_size, shuffle=False,

@@ -32,11 +32,6 @@ from gstx.decode.dialog_engine import make_dialog_engine
 from gstx.decode.sampler import DecodeSettings
 
 
-def decode_batch(tokenizer, seqs: np.ndarray):
-    return [tokenizer.decode([int(t) for t in row], skip_special_tokens=True)
-            for row in seqs]
-
-
 def main(argv=None, max_batches=None):
     config = parse_config(argv, "gstx dialog generation")
     pprint.pprint(config)

@@ -89,7 +89,8 @@ def main(argv=None, input_fn=input, output_fn=print, max_turns=None):
             break
         if not line or line.strip() in ("quit", "exit"):
             break
-        q_ids = tokenizer.encode(line.strip())[: config.max_utt_len - 2]
+        q_cap = min(config.max_utt_len - 2, config.max_dec_len - 1)
+        q_ids = tokenizer.encode(line.strip())[:q_cap]
         q = np.zeros((1, config.max_dec_len), np.int32)
         q[0, : len(q_ids)] = q_ids
         q[0, len(q_ids)] = SEP_ID

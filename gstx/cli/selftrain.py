@@ -59,6 +59,7 @@ def main(argv=None, dry_run=False):
                 "-save_name", f"cc12m_dialogs_{c}.txt",
             ] + args.extra)
         student_dir = os.path.join(args.save_path, f"student_iter{n}")
+        student_ckpt = os.path.join(student_dir, "final.ckpt")
         plan.append([
             "gstx.cli.train_gen", "-mode", "cc12m_train", "-select_data",
             "-iter", str(n), "-chunk", str(args.chunks),
@@ -70,10 +71,12 @@ def main(argv=None, dry_run=False):
         finetune_dir = os.path.join(args.save_path, f"finetune_iter{n}")
         plan.append([
             "gstx.cli.train_gen", "-mode", "vd_train",
-            "-start_path", student_dir, "-continue",
+            "-start_path", student_ckpt, "-continue",
             "-save_path", finetune_dir,
         ] + args.extra)
-        teacher = finetune_dir
+        # the finetuned student becomes the next teacher (final checkpoint
+        # saved by the train loop)
+        teacher = os.path.join(finetune_dir, "final.ckpt")
 
     if dry_run:
         return plan

@@ -31,9 +31,13 @@ import numpy as np
 
 
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    if os.path.isdir(path):  # overwrite (orbax refuses existing dirs)
+        shutil.rmtree(path)
     ckptr = ocp.PyTreeCheckpointer()
     payload = {"params": params, "step": np.asarray(step)}
     if opt_state is not None:
@@ -249,6 +253,10 @@ def convert_torch_state_dict(
             _set(tree, dst + ("output",), _dense(sd, f"{src}.output.dense"))
             _set(tree, dst + ("output_ln",),
                  _ln(sd, f"{src}.output.LayerNorm"))
+        # independent LM projection (diverged from the shared table in
+        # trained reference checkpoints; see GSTDecoderModel.setup)
+        _set(tree, ("decoder", "lm_weight"),
+             sd[f"{dec_p}.lm_head.decoder.weight"])
         _set(tree, ("decoder", "lm_bias"), sd[f"{dec_p}.lm_head.bias"])
 
     if has("vlfusion.fc_l.weight"):
@@ -396,7 +404,8 @@ def to_torch_state_dict(params: dict, with_decoder: bool = True,
             put_dense(f"{prefix}.intermediate.dense", node["intermediate"])
             put_dense(f"{prefix}.output.dense", node["output"])
             put_ln(f"{prefix}.output.LayerNorm", node["output_ln"])
-        sd["decoder.decoder.lm_head.decoder.weight"] = word  # tied
+        sd["decoder.decoder.lm_head.decoder.weight"] = np.asarray(
+            dec["lm_weight"]).astype(dtype)
         sd["decoder.decoder.lm_head.bias"] = np.asarray(
             dec["lm_bias"]).astype(dtype)
         sd["decoder.decoder.lm_head.decoder.bias"] = np.asarray(

@@ -32,16 +32,20 @@ def init_distributed(coordinator_address: Optional[str] = None,
     arguments are auto-detected from the environment."""
     import jax.distributed
 
-    if jax.process_count() > 1:
-        return  # already initialized
+    # MUST run before any other JAX call (backend initialization makes
+    # jax.distributed.initialize raise) — callers invoke this first thing.
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process / already-initialized environments
+    except ValueError:
+        # single-process environment: coordinator auto-detection failed
         pass
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return
+        raise  # backends already initialized: a real ordering bug
 
 
 def process_shard(n_items: int, process_index: Optional[int] = None,

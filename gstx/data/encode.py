@@ -146,3 +146,12 @@ def sequence_mask(lengths: np.ndarray, max_len: Optional[int] = None) -> np.ndar
     if max_len is None:
         max_len = int(lengths.max())
     return np.arange(max_len)[None, :] < lengths[:, None]
+
+
+def nsp_attention_mask(sep_indices, hist_len, max_len: int):
+    """Attention covers tokens up to the hist_len-th SEP inclusive
+    (train_disc.py:97-99): length = sep_indices[hist_len] + 1.  Works on
+    numpy or jax arrays (single implementation shared by train and eval)."""
+    seq_len = np.take_along_axis(np.asarray(sep_indices),
+                                 np.asarray(hist_len)[:, None], axis=1)[:, 0] + 1
+    return sequence_mask(seq_len, max_len).astype(np.float32)

@@ -23,6 +23,18 @@ from gstx.eval.rank_gen import make_chunk_scorer
 from gstx.models.encdec import GSTVisualDialog
 
 
+def rebuild_segments(ids: np.ndarray, start_segment: int = 1) -> np.ndarray:
+    """Reconstruct oscillating segment ids from [SEP] positions
+    (encode_input semantics, data_utils.py:34-57): each utterance's tokens
+    INCLUDING its trailing SEP share a segment; pads are 0."""
+    is_sep = (ids == SEP_ID).astype(np.int64)
+    # number of SEPs strictly before each position
+    before = np.cumsum(is_sep, axis=1) - is_sep
+    seg = (start_segment + before) % 2
+    seg[ids == PAD_ID] = 0
+    return seg
+
+
 def evaluate_attack(
     model: GSTVisualDialog,
     params,
@@ -77,8 +89,15 @@ def evaluate_attack(
                         and text_attack is not None:
                     dep = coref_dependency[batch_idx]["coreference"][j] \
                         if coref_dependency else {}
-                    chunk["enc_input_ids"] = text_attack.coreference_attack(
+                    new_ids = text_attack.coreference_attack(
                         chunk["enc_input_ids"], chunk["enc_sep_indices"], dep)
+                    chunk["enc_input_ids"] = new_ids
+                    # re-tokenized context can change length: recompute the
+                    # attention mask and segment ids (the reference keeps
+                    # the stale ones — its substitute path crashes anyway)
+                    chunk["enc_att_mask"] = (new_ids != PAD_ID).astype(
+                        np.float32)
+                    chunk["enc_segments"] = rebuild_segments(new_ids)
                 elif config.attack == "random_token" \
                         and text_attack is not None:
                     image = {"feat": chunk["enc_image_feat"],

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gstx.data.encode import sequence_mask
+from gstx.data.encode import nsp_attention_mask
 from gstx.eval.metrics import NDCG, SparseGTMetrics, scores_to_ranks
 from gstx.models.encdec import GSTVisualDialog
 
@@ -33,13 +33,7 @@ def make_nsp_scorer(model: GSTVisualDialog):
     return score_chunk
 
 
-def _nsp_attention_mask(sep_indices: np.ndarray, hist_len: np.ndarray,
-                        max_len: int) -> np.ndarray:
-    """Attention covers tokens up to the hist_len-th SEP (train_disc.py:97-99:
-    gather(sep_indices, hist_len)+1 -> sequence_mask)."""
-    seq_lens = np.take_along_axis(
-        sep_indices, hist_len[:, None], axis=1)[:, 0] + 1
-    return sequence_mask(seq_lens, max_len).astype(np.float32)
+
 
 
 def evaluate_disc(
@@ -63,7 +57,7 @@ def evaluate_disc(
         for key in ("tokens", "segments", "sep_indices"):
             flat[key] = batch[key].reshape(total, batch[key].shape[-1])
         hist_len = batch["hist_len"].reshape(total)
-        flat["att_mask"] = _nsp_attention_mask(
+        flat["att_mask"] = nsp_attention_mask(
             flat["sep_indices"], hist_len, batch["tokens"].shape[-1])
         for key in ("image_feat", "image_loc", "image_mask"):
             x = batch[key]

@@ -164,11 +164,30 @@ class GSTDecoderModel(nn.Module):
             DecoderLayer(self.config, dtype=self.dtype, name=f"layer_{i}")
             for i in range(self.config.num_hidden_layers)
         ]
-        # LM head free bias (BertGenerationOnlyLMHead.bias,
-        # visual_dialog_decoder.py:334)
+        # LM head: its OWN projection weight + free bias.  The reference's
+        # three-way tying does not survive training: train_gen.py:293
+        # replaces the decoder's embeddings MODULE after the lm_head was
+        # constructed from the ORIGINAL decoder embedding Parameter
+        # (visual_dialog_decoder.py:124,326-335), so in trained reference
+        # checkpoints lm_head.decoder.weight is a separate tensor that has
+        # diverged from the shared input-embedding table.  gstx reproduces
+        # that: decoder INPUT embeddings are tied to the encoder table, the
+        # LM projection is independent.
+        self.lm_weight = self.param(
+            "lm_weight", nn.initializers.normal(self.config.initializer_range),
+            (self.config.vocab_size, self.config.hidden_size), jnp.float32)
         self.lm_bias = self.param(
             "lm_bias", nn.initializers.zeros, (self.config.vocab_size,),
             jnp.float32)
+
+    def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """hidden @ lm_weight^T + bias (BertGenerationOnlyLMHead,
+        visual_dialog_decoder.py:326-339) in float32."""
+        from gstx.models.layers import prec_for
+
+        return jnp.einsum("...d,vd->...v", hidden.astype(jnp.float32),
+                          self.lm_weight,
+                          precision=prec_for(jnp.float32)) + self.lm_bias
 
     def __call__(
         self,

@@ -1,15 +1,18 @@
 """Top-level GST visual-dialog model: two-stream encoder + V+L fusion +
-cross-attention decoder, with three-way embedding tying.
+cross-attention decoder, with the reference's exact weight-sharing topology.
 
 Equivalent of the reference's ``EncoderDecoderModel`` + ``VLFusion``
-(``models/visual_dialog_model.py:8-135``) and the weight sharing set up in
-``train_gen.py:293`` (decoder embeddings = encoder embeddings) and
-``visual_dialog_decoder.py:333`` (LM head weight = word embeddings).
+(``models/visual_dialog_model.py:8-135``) and the embedding sharing set up in
+``train_gen.py:293`` (decoder INPUT embeddings = encoder embeddings).
 
-In flax, the tying is structural: there is exactly ONE DialogEmbeddings
-submodule (inside the encoder); the decoder path calls it for embedding
-lookups and for the transposed LM projection, so the parameter exists once in
-the pytree and gradients from all three uses accumulate automatically.
+Tying topology (matches trained reference checkpoints):
+  * encoder word embeddings == decoder input embeddings == encoder MLM-head
+    projection (one DialogEmbeddings submodule, used functionally by the
+    decoder path and the MLM head);
+  * the decoder LM head has its OWN projection weight: the reference's
+    module swap at train_gen.py:293 happens AFTER the lm_head captured the
+    original decoder embedding Parameter (visual_dialog_decoder.py:124),
+    so that tensor trains independently and diverges from the shared table.
 """
 
 from __future__ import annotations
@@ -117,7 +120,9 @@ class GSTVisualDialog(nn.Module):
             position_ids=positions, deterministic=deterministic)
 
     def _lm_logits(self, hidden):
-        return self.encoder.embed_attend(hidden) + self.decoder.lm_bias
+        # independent LM projection (NOT the tied word-embedding table) —
+        # matches trained reference checkpoints, see GSTDecoderModel.setup
+        return self.decoder.lm_logits(hidden)
 
     def decode_logits(self, dec_input_ids, dec_attention_mask, memory,
                       memory_mask, deterministic: bool = True):

@@ -23,7 +23,8 @@ from gstx.models.heads import masked_img_loss, masked_lm_loss, soft_nsp_loss
 def nsp_attention_mask(sep_indices: jnp.ndarray, hist_len: jnp.ndarray,
                        max_len: int) -> jnp.ndarray:
     """sequence length = sep_indices[hist_len] + 1 -> boolean mask
-    (train_disc.py:97-99)."""
+    (train_disc.py:97-99).  jit-side twin of
+    gstx.data.encode.nsp_attention_mask — tests pin the two equal."""
     seq_len = jnp.take_along_axis(sep_indices, hist_len[:, None], axis=1)[:, 0] + 1
     return (jnp.arange(max_len)[None, :] < seq_len[:, None]).astype(jnp.float32)
 

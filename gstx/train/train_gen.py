@@ -198,6 +198,8 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
             logger.write(f"\n{epoch_id} epoch ended.")
         if max_steps is not None and iter_id - start_iter_id + 1 >= max_steps:
             break
+    ckpt_lib.save_checkpoint(os.path.join(config.save_path, "final.ckpt"),
+                             params, opt_state, iter_id)
     return params, opt_state
 
 
@@ -208,7 +210,17 @@ def load_start_checkpoint(config: GSTConfig, params, opt_state):
     start_iter_id = 0
     path = config.start_path
     if path.endswith(".ckpt") and os.path.isdir(path):
-        restored = ckpt_lib.restore_checkpoint(path)
+        # restore against a live template so optax NamedTuple states keep
+        # their structure (a template-less orbax restore returns plain
+        # dicts/lists and the first optimizer.update crashes)
+        template = {"params": params, "opt_state": opt_state,
+                    "step": np.asarray(0)}
+        try:
+            restored = ckpt_lib.restore_checkpoint(path, template=template)
+        except Exception:
+            # checkpoint without opt_state (e.g. converted / eval-only)
+            restored = ckpt_lib.restore_checkpoint(
+                path, template={"params": params, "step": np.asarray(0)})
         new_params = restored["params"]
         if config.continue_training:
             params = new_params

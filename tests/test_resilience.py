@@ -63,7 +63,7 @@ def test_selftrain_plan(tmp_path):
     # iteration 2's generate uses iteration 1's finetuned student as teacher
     it2_gen = gen_stages[3]
     a_idx = it2_gen.index("-start_path_a") + 1
-    assert it2_gen[a_idx] == "/out/finetune_iter1"
+    assert it2_gen[a_idx] == "/out/finetune_iter1/final.ckpt"
     train_stages = [s for s in plan if s[0] == "gstx.cli.train_gen"]
     assert any("-select_data" in s for s in train_stages)
     assert any("vd_train" in s for s in train_stages)

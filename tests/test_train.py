@@ -215,3 +215,16 @@ def test_process_sharded_loader(train_env):
     s2 = process_shard(10, 2, 3)
     np.testing.assert_array_equal(np.sort(np.concatenate([s0, s1, s2])),
                                   np.arange(10))
+
+
+def test_nsp_mask_impls_agree():
+    import jax.numpy as jnp
+    from gstx.data.encode import nsp_attention_mask as np_mask
+    from gstx.train.train_disc import nsp_attention_mask as jnp_mask
+
+    rng = np.random.RandomState(0)
+    sep = np.sort(rng.randint(1, 30, size=(4, 8)), axis=1)
+    hist = rng.randint(0, 8, size=(4,))
+    a = np_mask(sep, hist, 32)
+    b = np.asarray(jnp_mask(jnp.asarray(sep), jnp.asarray(hist), 32))
+    np.testing.assert_array_equal(a, b)
