@@ -184,3 +184,42 @@ def test_cli_train_gen_cc12m_chunks(cli_env, tmp_path_factory):
                 "-batch_size", "4", "-num_epochs", "1", "-log_every", "1"],
         max_steps=2)
     assert params is not None
+
+
+@pytest.mark.slow
+def test_cli_attack_coreference(cli_env, tmp_path_factory):
+    """Coreference attack CLI with synthetic cos-sim + dependency data."""
+    import pickle
+
+    import numpy as np
+
+    from gstx.cli.evaluate_gen_attack import main
+
+    args, cfg, ckpt = cli_env
+    root = str(tmp_path_factory.mktemp("coref"))
+    # synthetic counter-fitted similarity: 'dog'~'horse'
+    idx2word = {0: "dog", 1: "horse", 2: "man"}
+    word2idx = {w: i for i, w in idx2word.items()}
+    sim = np.asarray([[1.0, 0.8, 0.1], [0.8, 1.0, 0.2], [0.1, 0.2, 1.0]],
+                     np.float32)
+    cos_npy = os.path.join(root, "cos.npy")
+    np.save(cos_npy, sim)
+    i2w = os.path.join(root, "i2w.pickle")
+    w2i = os.path.join(root, "w2i.pickle")
+    pickle.dump(idx2word, open(i2w, "wb"))
+    pickle.dump(word2idx, open(w2i, "wb"))
+    # dependency file: one record per val dialog, 10 per-round dicts
+    dep_path = os.path.join(root, "coref.json")
+    deps = [{"image_id": 1000 + d,
+             "coreference": [{"1": "dog"} for _ in range(10)]}
+            for d in range(4)]
+    json.dump(deps, open(dep_path, "w"))
+
+    metrics = main(args + [
+        "-mode", "vd_eval_val", "-attack", "coreference",
+        "-start_path", ckpt,
+        "-cos_sim_counter_fitting", cos_npy,
+        "-cos_sim_idx2word", i2w, "-cos_sim_word2idx", w2i,
+        "-visdial_processed_val_coref_dependency", dep_path,
+    ], max_batches=1)
+    assert "mrr" in metrics and "ndcg" in metrics

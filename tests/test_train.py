@@ -228,3 +228,35 @@ def test_nsp_mask_impls_agree():
     a = np_mask(sep, hist, 32)
     b = np.asarray(jnp_mask(jnp.asarray(sep), jnp.asarray(hist), 32))
     np.testing.assert_array_equal(a, b)
+
+
+def test_two_lr_groups_scale_updates_differently(train_env):
+    """lr vs image_lr actually produce different update magnitudes for
+    language vs visual params (train_gen.py:204-242 semantics)."""
+    import jax
+    import optax
+
+    cfg, tok, model, params = train_env
+    optimizer = make_optimizer(lang_lr=1e-2, image_lr=1e-6, warmup_steps=0,
+                               t_total=100, min_lr=1e-9)
+    opt_state = optimizer.init(params)
+    grads = jax.tree_util.tree_map(lambda x: jnp.ones_like(x), params)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    u = updates["params"]
+    lang_mag = float(jnp.abs(
+        u["encoder"]["embeddings"]["word_embeddings"]["embedding"]).mean())
+    img_mag = float(jnp.abs(
+        u["encoder"]["encoder"]["v_layer_0"]["attention"]["qkv"]["kernel"]
+    ).mean())
+    assert lang_mag > img_mag * 100, (lang_mag, img_mag)
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver contract: dryrun_multichip compiles and runs the full
+    sharded train step on the virtual CPU mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(2)
