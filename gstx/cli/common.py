@@ -18,10 +18,25 @@ from gstx.data.tokenizer import BertTokenizer
 from gstx.models.encdec import GSTVisualDialog
 
 
+def _check_choice(name, value, choices):
+    if value not in choices:
+        raise SystemExit(
+            f"error: -{name} must be one of {list(choices)}, got {value!r}")
+
+
 def parse_config(argv=None, description: str = "gstx") -> GSTConfig:
     parser = argparse.ArgumentParser(description=description)
     add_config_args(parser)
     cfg = config_from_args(parser.parse_args(argv))
+    # choice validation (the reference's argparse choices, options.py:54-56,85)
+    _check_choice("vd_version", cfg.vd_version, ("1.0", "0.9"))
+    _check_choice("mode", cfg.mode,
+                  ("vd_train", "vd_eval_val", "vd_eval_test", "vd_gen_val",
+                   "cc12m_gen", "cc12m_train"))
+    _check_choice("model", cfg.model,
+                  ("enc_only_a", "enc_dec_a", "enc_dec_q"))
+    _check_choice("attack", cfg.attack,
+                  ("fgsm", "random_token", "coreference"))
     if cfg.save_path == "checkpoints/":
         # timestamped default save path (options.py:94-98)
         stamp = time.strftime("%d-%b-%y-%X-%a", time.gmtime())

@@ -36,8 +36,9 @@ def main(argv=None, max_batches=None):
     config = parse_config(argv, "gstx dialog generation")
     pprint.pprint(config)
     assert config.mode in ("vd_gen_val", "cc12m_gen")
-    assert config.save_name != ""
-    assert config.start_path_q and config.start_path_a
+    assert config.save_name != "", "-save_name is required"
+    assert config.start_path_q and config.start_path_a, \
+        "-start_path_q and -start_path_a are required"
     os.makedirs(config.save_path, exist_ok=True)
     enable_compile_cache()
     apply_runtime_flags(config)
