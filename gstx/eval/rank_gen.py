@@ -20,15 +20,30 @@ from gstx.eval.metrics import NDCG, SparseGTMetrics, scores_to_ranks
 from gstx.models.encdec import GSTVisualDialog, candidate_log_likelihood
 
 
-def make_chunk_scorer(model: GSTVisualDialog):
+def make_chunk_scorer(model: GSTVisualDialog, mesh=None):
     """Jitted scorer for one flattened chunk.
 
     The decoder inputs get EOS->PAD scrubbed (the reference's in-decoder
     label derivation, visual_dialog_decoder.py:53-57) while the candidate
     log-likelihood targets keep the EOS so its probability is scored
-    (evaluate_gen.py:98-106)."""
+    (evaluate_gen.py:98-106).
 
-    @jax.jit
+    With ``mesh``, chunks shard over the data axis (DP evaluation: the
+    10x100 options axis folds into the batch and splits across chips)."""
+
+    in_shardings = None
+    if mesh is not None:
+        from gstx.core.mesh import batch_sharding, replicated
+
+        in_shardings = (replicated(mesh),
+                        jax.tree_util.tree_map(
+                            lambda _: batch_sharding(mesh), {
+                                k: 0 for k in (
+                                    "enc_input_ids", "enc_segments",
+                                    "enc_att_mask", "dec_input_ids",
+                                    "dec_att_mask", "enc_image_feat",
+                                    "enc_image_loc", "enc_image_mask")}))
+
     def score_chunk(params, chunk):
         dec_ids = chunk["dec_input_ids"]
         dec_inputs = jnp.where(dec_ids == SEP_ID, PAD_ID, dec_ids)
@@ -41,7 +56,9 @@ def make_chunk_scorer(model: GSTVisualDialog):
             method=GSTVisualDialog.score)
         return candidate_log_likelihood(logits, dec_ids, PAD_ID)
 
-    return score_chunk
+    if in_shardings is not None:
+        return jax.jit(score_chunk, in_shardings=in_shardings)
+    return jax.jit(score_chunk)
 
 
 def evaluate_gen(
@@ -52,13 +69,15 @@ def evaluate_gen(
     vd_version: str = "1.0",
     chunk_size: int = 500,
     logger=None,
+    mesh=None,
 ) -> Dict:
     """Run the full generative evaluation.  ``loader`` yields collated eval
-    batches (VisdialGenDataset vd_eval_val / vd_eval_test items)."""
+    batches (VisdialGenDataset vd_eval_val / vd_eval_test items).  With
+    ``mesh``, chunks shard over the data axis (multi-chip DP eval)."""
     sparse = SparseGTMetrics()
     ndcg = NDCG()
     ranks_json: List[dict] = []
-    score_chunk = make_chunk_scorer(model)
+    score_chunk = make_chunk_scorer(model, mesh=mesh)
 
     for batch in loader:
         b, rounds, options = batch["enc_input_ids"].shape[:3]

@@ -75,3 +75,21 @@ def test_discriminative_eval_end_to_end(env):
                             chunk_size=50)
     assert "ndcg" in metrics and "mrr" in metrics
     assert 0.0 <= metrics["ndcg"] <= 1.0
+
+
+def test_generative_eval_sharded_over_mesh(env):
+    """DP evaluation: the chunk axis shards over the 8-device CPU mesh and
+    produces the same metrics as the single-device path."""
+    from gstx.core.mesh import make_mesh
+
+    cfg, tok, model, params = env
+    ds = VisdialGenDataset(cfg, tok, mode="vd_eval_val")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    single = evaluate_gen(model, params, dl.epoch(0), mode="vd_eval_val",
+                          chunk_size=40)
+    mesh = make_mesh()  # 8 x 1
+    sharded = evaluate_gen(model, params, dl.epoch(0), mode="vd_eval_val",
+                           chunk_size=40, mesh=mesh)
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)

@@ -90,8 +90,9 @@ def test_segment_extension_table(tiny_configs):
 
 
 def test_word_embedding_tying(model_and_params):
-    """Encoder word embeddings, decoder input embeddings and LM head weight
-    must be ONE parameter (train_gen.py:293; visual_dialog_decoder.py:333)."""
+    """Encoder word embeddings == decoder INPUT embeddings == MLM-head
+    projection: ONE parameter (train_gen.py:293).  The decoder LM head is a
+    separate lm_weight by design — see GSTDecoderModel.setup."""
     model, params, _ = model_and_params
     flat = jax.tree_util.tree_leaves_with_path(params)
     word_tables = [p for p, _ in flat if any(
@@ -165,3 +166,42 @@ def test_candidate_log_likelihood_ignores_pads():
     logp = np.asarray(jax.nn.log_softmax(logits, -1))[0]
     want = logp[0, 3] + logp[1, 5]
     np.testing.assert_allclose(score, want, rtol=1e-5)
+
+
+def test_fixed_layer_prefixes_stop_gradients(tiny_configs):
+    """fixed_t_layer / fixed_v_layer freeze prefix layers under stop_gradient
+    (reference no_grad blocks, vilbert_dialog.py:839-858)."""
+    import dataclasses
+
+    enc_cfg, dec_cfg = tiny_configs
+    enc_cfg = dataclasses.replace(enc_cfg, fixed_t_layer=2, fixed_v_layer=1)
+    model = GSTVisualDialog(enc_cfg, dec_cfg)
+    b, l, r, t = 2, 8, 4, 5
+    batch = dict(
+        input_ids=jnp.ones((b, l), jnp.int32),
+        image_feat=jnp.ones((b, r, enc_cfg.v_feature_size)),
+        image_loc=jnp.ones((b, r, 5)),
+        token_type_ids=jnp.zeros((b, l), jnp.int32),
+        attention_mask=jnp.ones((b, l), jnp.int32),
+        image_attention_mask=jnp.ones((b, r), jnp.int32),
+        dec_input_ids=jnp.ones((b, t), jnp.int32),
+        dec_attention_mask=jnp.ones((b, t), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), **batch,
+                        method=GSTVisualDialog.init_all)
+
+    def loss(p):
+        logits = model.apply(p, **batch, method=GSTVisualDialog.score)
+        return jnp.sum(logits ** 2) * 1e-6
+
+    grads = jax.grad(loss)(params)["params"]["encoder"]["encoder"]
+
+    def norm(tree):
+        return sum(float(jnp.abs(x).sum())
+                   for x in jax.tree_util.tree_leaves(tree))
+
+    # frozen prefixes: zero grads; later layers: nonzero
+    assert norm(grads["layer_0"]) == 0.0
+    assert norm(grads["layer_1"]) == 0.0
+    assert norm(grads["layer_2"]) > 0.0
+    assert norm(grads["v_layer_0"]) == 0.0
+    assert norm(grads["v_layer_1"]) > 0.0
