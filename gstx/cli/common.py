@@ -53,7 +53,12 @@ def enable_compile_cache():
 
 
 def apply_runtime_flags(config):
-    """Honor runtime feature flags (currently: Pallas kernels)."""
+    """Honor runtime feature flags.  Called before any device use, so
+    -distributed can still initialize jax.distributed."""
+    if config.distributed:
+        from gstx.core.mesh import init_distributed
+
+        init_distributed()
     if config.use_pallas:
         from gstx.kernels import attention as pk
 
@@ -111,4 +116,12 @@ def load_params(model: GSTVisualDialog, config: GSTConfig, path: str,
                     else a[k] for k in a}
         return jnp.asarray(b)
 
-    return {"params": merge(params["params"], tree)}
+    merged = merge(params["params"], tree)
+    if "decoder" not in tree and "decoder" in merged:
+        # encoder-only checkpoint: seed the LM projection from the loaded
+        # word embeddings (reference pretrained-init semantics)
+        word = merged["encoder"]["embeddings"]["word_embeddings"]["embedding"]
+        if merged["decoder"]["lm_weight"].shape == word.shape:
+            merged["decoder"] = dict(merged["decoder"],
+                                     lm_weight=jnp.asarray(word))
+    return {"params": merged}

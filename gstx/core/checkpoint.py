@@ -31,18 +31,25 @@ import numpy as np
 
 
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
+    """Write-to-temp-then-swap so an interrupted save never destroys the
+    previous checkpoint (the old copy survives until the new one is fully
+    written)."""
     import shutil
 
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    if os.path.isdir(path):  # overwrite (orbax refuses existing dirs)
-        shutil.rmtree(path)
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     ckptr = ocp.PyTreeCheckpointer()
     payload = {"params": params, "step": np.asarray(step)}
     if opt_state is not None:
         payload["opt_state"] = opt_state
-    ckptr.save(path, payload)
+    ckptr.save(tmp, payload)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
 
 
 def restore_checkpoint(path: str, template=None):

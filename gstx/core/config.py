@@ -232,6 +232,7 @@ class GSTConfig:
     data_parallel: int = -1  # -1 = all devices
     model_parallel: int = 1
     warmup_steps: int = 1500  # train_gen.py:180 (disc uses 10000, train_disc.py:146)
+    distributed: bool = False  # multi-host: jax.distributed over DCN
     seed: int = 0
     log_every: int = 10
     use_pallas: bool = False

@@ -97,11 +97,20 @@ def evaluate_gen(
 
         cs = min(chunk_size, total)
         assert total % cs == 0, (total, cs)
+        # DP meshes need the chunk batch divisible by the data axis: pad
+        # with repeated rows and slice the padded scores away
+        dp = mesh.shape["data"] if mesh is not None else 1
+        cs_pad = ((cs + dp - 1) // dp) * dp
         out = []
         for j in range(total // cs):
-            chunk = {k: jnp.asarray(v[j * cs:(j + 1) * cs])
-                     for k, v in flat.items()}
-            out.append(np.asarray(score_chunk(params, chunk)))
+            chunk = {}
+            for k, v in flat.items():
+                rows = v[j * cs:(j + 1) * cs]
+                if cs_pad != cs:
+                    rows = np.concatenate(
+                        [rows, np.repeat(rows[:1], cs_pad - cs, axis=0)])
+                chunk[k] = jnp.asarray(rows)
+            out.append(np.asarray(score_chunk(params, chunk))[:cs])
         scores = np.concatenate(out).reshape(b, rounds, options)
 
         if mode == "vd_eval_val":

@@ -167,6 +167,7 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
 
     start_t = time.time()
     start_epoch = start_iter_id // max(1, num_iter_epoch)
+    iter_id = start_iter_id  # final-ckpt save must work on zero-batch runs
     for epoch_id, idx, batch in batch_iter(loader, config.num_epochs,
                                            start_epoch):
         iter_id = idx + epoch_id * num_iter_epoch
@@ -217,8 +218,13 @@ def load_start_checkpoint(config: GSTConfig, params, opt_state):
                     "step": np.asarray(0)}
         try:
             restored = ckpt_lib.restore_checkpoint(path, template=template)
-        except Exception:
-            # checkpoint without opt_state (e.g. converted / eval-only)
+        except Exception as e:
+            # checkpoint without opt_state (e.g. converted / eval-only) —
+            # WARN loudly: the run continues as params-only warm start with
+            # the LR schedule restarting from step 0
+            print(f"[train_gen] WARNING: full resume failed ({e!r}); "
+                  "falling back to params-only restore — optimizer state "
+                  "and step counter reset", flush=True)
             restored = ckpt_lib.restore_checkpoint(
                 path, template={"params": params, "step": np.asarray(0)})
         new_params = restored["params"]
@@ -254,11 +260,20 @@ def _merge_trees(template, new):
 
 def _merge_encoder_only(template, new):
     """Warm start: only encoder+heads subtrees transfer
-    (train_gen.py:280-289)."""
+    (train_gen.py:280-289).  When the source has no decoder, the LM-head
+    projection is seeded from the loaded word-embedding table — matching the
+    reference, where lm_head.decoder.weight starts as the pretrained
+    embedding table before diverging (visual_dialog_decoder.py:124)."""
     out = dict(template["params"]) if "params" in template else dict(template)
     src = new["params"] if "params" in new else new
     merged = dict(out)
     for key in ("encoder", "cls"):
         if key in src:
             merged[key] = _merge_trees({key: out[key]}, {key: src[key]})[key]
+    if "decoder" not in src and "decoder" in merged:
+        word = merged["encoder"]["embeddings"]["word_embeddings"]["embedding"]
+        dec = dict(merged["decoder"])
+        if dec.get("lm_weight") is not None and                 dec["lm_weight"].shape == word.shape:
+            dec["lm_weight"] = jnp.asarray(word)
+            merged["decoder"] = dec
     return {"params": merged}
