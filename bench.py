@@ -33,6 +33,9 @@ def main():
     parser.add_argument("-repeats", type=int, default=2)
     parser.add_argument("-cpu", action="store_true",
                         help="force CPU (debug only)")
+    parser.add_argument("-pipeline", type=int, default=2,
+                        help="batches in flight (cli/generate's double "
+                             "buffering); 1 = fully serial")
     parser.add_argument("-context_buckets", type=str, default="128,192",
                         help="comma-separated context widths for early "
                              "rounds; '' disables")
@@ -116,12 +119,24 @@ def main():
     run(jax.random.PRNGKey(1))
     print(f"[bench] compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
 
-    times = []
-    for rep in range(args.repeats):
-        t0 = time.time()
-        run(jax.random.PRNGKey(2 + rep))
-        times.append(time.time() - t0)
-    wall = min(times)
+    # steady-state throughput with `pipeline` batches in flight — exactly
+    # how cli/generate drives the engine (dispatch batch i+1 before
+    # fetching batch i); per-round dispatch gaps overlap across batches
+    n_batches = max(args.repeats, 3)
+    t0 = time.time()
+    pending = []
+    for i in range(n_batches):
+        out = engine(q_params, a_params, batch, jax.random.PRNGKey(10 + i))
+        pending.append(out)
+        if len(pending) >= args.pipeline:
+            o = pending.pop(0)
+            np.asarray(o.questions), np.asarray(o.answers), \
+                np.asarray(o.answer_ppl)
+    while pending:
+        o = pending.pop(0)
+        np.asarray(o.questions), np.asarray(o.answers), \
+            np.asarray(o.answer_ppl)
+    wall = (time.time() - t0) / n_batches
 
     # generated tokens: every decode step samples a token for each of the
     # two models (the reference counts the same way: 18-step decodes)
