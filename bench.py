@@ -29,7 +29,6 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-batch_size", type=int, default=32)
     parser.add_argument("-rounds", type=int, default=10)
-    parser.add_argument("-warmup_rounds", type=int, default=1)
     parser.add_argument("-repeats", type=int, default=2)
     parser.add_argument("-cpu", action="store_true",
                         help="force CPU (debug only)")

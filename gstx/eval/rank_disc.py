@@ -19,8 +19,16 @@ from gstx.eval.metrics import NDCG, SparseGTMetrics, scores_to_ranks
 from gstx.models.encdec import GSTVisualDialog
 
 
-def make_nsp_scorer(model: GSTVisualDialog):
-    @jax.jit
+def make_nsp_scorer(model: GSTVisualDialog, mesh=None):
+    in_shardings = None
+    if mesh is not None:
+        from gstx.core.mesh import batch_sharding, replicated
+
+        keys = ("tokens", "segments", "sep_indices", "att_mask",
+                "image_feat", "image_loc", "image_mask")
+        in_shardings = (replicated(mesh),
+                        {k: batch_sharding(mesh) for k in keys})
+
     def score_chunk(params, chunk):
         _, _, nsp = model.apply(
             params,
@@ -30,7 +38,9 @@ def make_nsp_scorer(model: GSTVisualDialog):
         probs = jax.nn.softmax(nsp.astype(jnp.float32), axis=-1)
         return probs[:, 0]
 
-    return score_chunk
+    if in_shardings is not None:
+        return jax.jit(score_chunk, in_shardings=in_shardings)
+    return jax.jit(score_chunk)
 
 
 
@@ -44,11 +54,12 @@ def evaluate_disc(
     vd_version: str = "1.0",
     chunk_size: int = 200,
     logger=None,
+    mesh=None,
 ) -> Dict:
     sparse = SparseGTMetrics()
     ndcg = NDCG()
     ranks_json: List[dict] = []
-    score_chunk = make_nsp_scorer(model)
+    score_chunk = make_nsp_scorer(model, mesh=mesh)
 
     for batch in loader:
         b, rounds, options = batch["tokens"].shape[:3]
@@ -67,11 +78,18 @@ def evaluate_disc(
 
         cs = min(chunk_size, total)
         assert total % cs == 0
+        dp = mesh.shape["data"] if mesh is not None else 1
+        cs_pad = ((cs + dp - 1) // dp) * dp
         out = []
         for j in range(total // cs):
-            chunk = {k: jnp.asarray(v[j * cs:(j + 1) * cs])
-                     for k, v in flat.items()}
-            out.append(np.asarray(score_chunk(params, chunk)))
+            chunk = {}
+            for k, v in flat.items():
+                rows = v[j * cs:(j + 1) * cs]
+                if cs_pad != cs:
+                    rows = np.concatenate(
+                        [rows, np.repeat(rows[:1], cs_pad - cs, axis=0)])
+                chunk[k] = jnp.asarray(rows)
+            out.append(np.asarray(score_chunk(params, chunk))[:cs])
         scores = np.concatenate(out).reshape(b, rounds, options)
 
         if mode == "vd_eval_val":

@@ -93,3 +93,18 @@ def test_generative_eval_sharded_over_mesh(env):
     for k in single:
         np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
                                    atol=1e-5, err_msg=k)
+
+
+def test_disc_eval_sharded_over_mesh(env):
+    from gstx.core.mesh import make_mesh
+
+    cfg, tok, model, params = env
+    ds = VisdialDiscDataset(cfg, tok, mode="vd_eval_val")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    single = evaluate_disc(model, params, dl.epoch(0), mode="vd_eval_val",
+                           chunk_size=50)
+    sharded = evaluate_disc(model, params, dl.epoch(0), mode="vd_eval_val",
+                            chunk_size=50, mesh=make_mesh())
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
