@@ -7,6 +7,8 @@ import json
 import os
 import pprint
 
+import jax
+
 from gstx.cli.common import (
     apply_runtime_flags,
     build_model,
@@ -49,9 +51,17 @@ def main(argv=None, max_batches=None, chunk_size=200):
                 return
             yield b
 
+    mesh = None
+    if config.data_parallel != 1 and len(jax.devices()) > 1:
+        from gstx.core.mesh import auto_data_parallel, make_mesh
+
+        dp = config.data_parallel
+        if dp == -1:
+            dp = auto_data_parallel(chunk_size)
+        mesh = make_mesh(dp, 1, devices=jax.devices()[:dp])
     result = evaluate_disc(model, params, batches(), mode=config.mode,
                            vd_version=config.vd_version,
-                           chunk_size=chunk_size, logger=logger)
+                           chunk_size=chunk_size, logger=logger, mesh=mesh)
     if config.mode == "vd_eval_test":
         json.dump(result, open(
             os.path.join(config.save_path, "predictions.txt"), "w"))

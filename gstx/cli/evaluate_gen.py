@@ -10,6 +10,8 @@ import json
 import os
 import pprint
 
+import jax
+
 from gstx.cli.common import (
     apply_runtime_flags,
     build_model,
@@ -52,9 +54,17 @@ def main(argv=None, max_batches=None, chunk_size=500):
                 return
             yield b
 
+    mesh = None
+    if config.data_parallel != 1 and len(jax.devices()) > 1:
+        from gstx.core.mesh import auto_data_parallel, make_mesh
+
+        dp = config.data_parallel
+        if dp == -1:
+            dp = auto_data_parallel(chunk_size)
+        mesh = make_mesh(dp, 1, devices=jax.devices()[:dp])
     result = evaluate_gen(model, params, batches(), mode=config.mode,
                           vd_version=config.vd_version,
-                          chunk_size=chunk_size, logger=logger)
+                          chunk_size=chunk_size, logger=logger, mesh=mesh)
     if config.mode == "vd_eval_test":
         # note: the reference crashes here on an undefined name
         # (evaluate_gen.py:191 'parsed') — fixed, not replicated
