@@ -299,3 +299,34 @@ def test_loader_determinism(visdial_env):
         for k in x:
             np.testing.assert_array_equal(x[k], y[k])
     assert b1[0]["enc_input_ids"].shape[0] == 2
+
+
+def test_disc_train_dense_pseudo_labels(visdial_env, tmp_path):
+    """-train_dense swaps negative-sample NSP labels for pseudo scores from
+    the dense train file (dataloader_visdial_disc.py:240-246)."""
+    import json
+
+    from gstx.data.visdial import VisdialDiscDataset
+
+    cfg, tok = visdial_env
+    # dense train file: per dialog, 10 rounds x 100 option scores
+    rng = np.random.RandomState(9)
+    dense = [{"image_id": 1000 + d,
+              "scores": [[float(s) for s in rng.rand(100)]
+                         for _ in range(10)]}
+             for d in range(4)]
+    dense_path = str(tmp_path / "train_dense.json")
+    json.dump(dense, open(dense_path, "w"))
+    cfg2 = cfg.replace(train_dense=True,
+                       visdial_processed_train_dense=dense_path)
+    ds = VisdialDiscDataset(cfg2, tok, mode="vd_train")
+    item = ds.__getitem__(0, seed=0)
+    labels = item["next_sentence_labels"]  # [10, 1+neg, 2]
+    # positives stay [1, 0]
+    np.testing.assert_array_equal(labels[:, 0], np.tile([1.0, 0.0], (10, 1)))
+    # negatives carry [score, 1-score] from the dense file
+    for j in range(10):
+        s, one_minus = labels[j, 1]
+        np.testing.assert_allclose(s + one_minus, 1.0, rtol=1e-6)
+    # at least one pseudo score is fractional (not the hard [0, 1] default)
+    assert any(0.0 < labels[j, 1, 0] < 1.0 for j in range(10))
