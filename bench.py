@@ -27,7 +27,7 @@ TARGET_TOKENS_PER_SEC_PER_CHIP = 3.6e6 * 10 * 2 * 18 / 86400.0 / 16.0
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("-batch_size", type=int, default=32)
+    parser.add_argument("-batch_size", type=int, default=96)
     parser.add_argument("-rounds", type=int, default=10)
     parser.add_argument("-repeats", type=int, default=2)
     parser.add_argument("-cpu", action="store_true",
