@@ -114,6 +114,47 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+# Parameter-tree path suffixes of the vocab-dimension tensors that tensor-
+# parallelise over the 'model' axis (vocab is the only >=30k dimension in the
+# model; everything else replicates).  The same suffixes appear inside
+# optimizer-state trees (adam mu/nu mirror the param tree), so
+# :func:`shard_by_path` applies to both.
+_VOCAB_ROW_SUFFIXES = (
+    "embeddings/word_embeddings/embedding",   # [V, d] tied table
+    "decoder/lm_weight",                      # [V, d] independent LM head
+)
+_VOCAB_VEC_SUFFIXES = (
+    "cls/mlm_bias",                           # [V]
+    "decoder/lm_bias",                        # [V]
+)
+
+
+def param_partition_spec(path: str) -> P:
+    """PartitionSpec for one param-tree path ('a/b/c' joined keys)."""
+    if any(path.endswith(s) for s in _VOCAB_ROW_SUFFIXES):
+        return P(MODEL_AXIS, None)
+    if any(path.endswith(s) for s in _VOCAB_VEC_SUFFIXES):
+        return P(MODEL_AXIS)
+    return P()
+
+
+def shard_by_path(mesh: Mesh, tree):
+    """device_put a params or optimizer-state pytree with vocab-dimension
+    leaves tensor-parallel over the 'model' axis and everything else
+    replicated.  With a model axis of size 1 this is plain replication."""
+
+    def place(path, x):
+        keys = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
+                        for k in path)
+        spec = param_partition_spec(keys)
+        if MODEL_AXIS in mesh.shape and mesh.shape[MODEL_AXIS] > 1 \
+                and spec != P():
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

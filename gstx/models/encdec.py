@@ -35,6 +35,27 @@ class GSTVisualDialog(nn.Module):
     dec_config: DecoderConfig
     use_decoder: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Optional device mesh enabling REAL tensor parallelism of the vocab-dim
+    # matmuls: with mesh.shape['model'] > 1 the LM-head / MLM projections are
+    # constrained to keep the vocab axis partitioned over the 'model' axis
+    # (the weights themselves are sharded by gstx.core.mesh.shard_by_path),
+    # so each chip computes a [.., V/tp] logits shard and only the softmax
+    # reductions cross chips.
+    mesh: Optional[jax.sharding.Mesh] = None
+
+    def _shard_logits(self, x):
+        """Keep the trailing vocab axis of logits partitioned over the
+        'model' mesh axis (no-op without a >1 model axis)."""
+        from gstx.core.mesh import MODEL_AXIS
+
+        if self.mesh is None or self.mesh.shape.get(MODEL_AXIS, 1) <= 1:
+            return x
+        P = jax.sharding.PartitionSpec
+        # leading dims unconstrained (XLA keeps the propagated 'data'
+        # sharding; init-time mini-batches stay valid), vocab partitioned
+        spec = P(*([P.UNCONSTRAINED] * (x.ndim - 1)), MODEL_AXIS)
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(self.mesh, spec))
 
     def setup(self):
         self.encoder = GSTEncoderModel(self.enc_config, dtype=self.dtype,
@@ -93,8 +114,10 @@ class GSTVisualDialog(nn.Module):
         hidden_t, hidden_v, pooled_t, pooled_v = self.encode(
             input_ids, image_feat, image_loc, token_type_ids,
             attention_mask, image_attention_mask, deterministic)
-        return self.cls(hidden_t, hidden_v, pooled_t, pooled_v,
-                        self.encoder.embed_attend, deterministic=deterministic)
+        pred_t, pred_v, nsp = self.cls(
+            hidden_t, hidden_v, pooled_t, pooled_v,
+            self.encoder.embed_attend, deterministic=deterministic)
+        return self._shard_logits(pred_t), pred_v, nsp
 
     # ------------------------------------------------------------------ #
     # fusion + decoder paths
@@ -122,7 +145,7 @@ class GSTVisualDialog(nn.Module):
     def _lm_logits(self, hidden):
         # independent LM projection (NOT the tied word-embedding table) —
         # matches trained reference checkpoints, see GSTDecoderModel.setup
-        return self.decoder.lm_logits(hidden)
+        return self._shard_logits(self.decoder.lm_logits(hidden))
 
     def decode_logits(self, dec_input_ids, dec_attention_mask, memory,
                       memory_mask, deterministic: bool = True):

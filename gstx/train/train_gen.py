@@ -26,7 +26,7 @@ import optax
 from gstx.core.config import GSTConfig
 from gstx.core import checkpoint as ckpt_lib
 from gstx.core.logging import Logger, MetricsWriter
-from gstx.core.mesh import batch_sharding, make_mesh, replicated
+from gstx.core.mesh import batch_sharding, make_mesh
 from gstx.models.encdec import GSTVisualDialog, teacher_forced_loss
 from gstx.train.optim import current_lrs, make_optimizer
 
@@ -150,10 +150,15 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
                                 n_dev // max(1, config.model_parallel))
     mesh = make_mesh(dp, config.model_parallel,
                      devices=jax.devices()[: dp * config.model_parallel])
-    params = jax.device_put(params, replicated(mesh))
-    opt_state = jax.device_put(opt_state, replicated(mesh))
+    from gstx.core.mesh import shard_by_path
+
+    # vocab-dim params tensor-parallel over the 'model' axis (identity when
+    # model_parallel == 1); optimizer state mirrors the param layout
+    params = shard_by_path(mesh, params)
+    opt_state = shard_by_path(mesh, opt_state)
     bsh = batch_sharding(mesh)
 
+    model = model.clone(mesh=mesh)
     step_fn = make_train_step(model, optimizer, config.batch_size)
     # multi-host: each host loads its stripe of the identically-shuffled
     # global order; local stripes assemble into globally-sharded arrays
