@@ -24,7 +24,25 @@ def _check_choice(name, value, choices):
             f"error: -{name} must be one of {list(choices)}, got {value!r}")
 
 
+def configure_platform():
+    """Honor GSTX_PLATFORM / GSTX_NUM_CPU_DEVICES env vars in subprocess
+    stages (the selftrain orchestrator's children, tests).  This sandbox's
+    sitecustomize ignores JAX_PLATFORMS, but jax.config.update before first
+    device use still wins; a no-op once a backend is already initialized."""
+    platform = os.environ.get("GSTX_PLATFORM")
+    if not platform:
+        return
+    try:
+        jax.config.update("jax_platforms", platform)
+        n = os.environ.get("GSTX_NUM_CPU_DEVICES")
+        if platform == "cpu" and n:
+            jax.config.update("jax_num_cpu_devices", int(n))
+    except Exception:
+        pass  # backend already in use — leave it
+
+
 def parse_config(argv=None, description: str = "gstx") -> GSTConfig:
+    configure_platform()
     parser = argparse.ArgumentParser(description=description)
     add_config_args(parser)
     cfg = config_from_args(parser.parse_args(argv))

@@ -42,11 +42,14 @@ def main(argv=None, dry_run=False):
 
     plan = []
     teacher = args.start_path_a
+    # extra flags go FIRST so stage-specific flags win argparse's
+    # last-occurrence rule on conflicts (-save_path, -mode, ...)
     for n in range(1, args.iterations + 1):
         iter_dir = os.path.join(args.dialog_root, f"iter{n}")
         for c in range(args.chunks):
             plan.append([
-                "gstx.cli.generate", "-mode", "cc12m_gen",
+                "gstx.cli.generate"] + args.extra + [
+                "-mode", "cc12m_gen",
                 "-start_path_q", args.start_path_q,
                 "-start_path_a", teacher,
                 "-cc12m_image_feats",
@@ -57,23 +60,25 @@ def main(argv=None, dry_run=False):
                              f"cc12m_captions_{c}.json"),
                 "-save_path", iter_dir,
                 "-save_name", f"cc12m_dialogs_{c}.txt",
-            ] + args.extra)
+            ])
         student_dir = os.path.join(args.save_path, f"student_iter{n}")
         student_ckpt = os.path.join(student_dir, "final.ckpt")
         plan.append([
-            "gstx.cli.train_gen", "-mode", "cc12m_train", "-select_data",
+            "gstx.cli.train_gen"] + args.extra + [
+            "-mode", "cc12m_train", "-select_data",
             "-iter", str(n), "-chunk", str(args.chunks),
             "-cc12m_processed_train", args.dialog_root + "/",
             "-cc12m_image_feats",
             args.cc12m_image_feats + "/",
             "-save_path", student_dir,
-        ] + args.extra)
+        ])
         finetune_dir = os.path.join(args.save_path, f"finetune_iter{n}")
         plan.append([
-            "gstx.cli.train_gen", "-mode", "vd_train",
+            "gstx.cli.train_gen"] + args.extra + [
+            "-mode", "vd_train",
             "-start_path", student_ckpt, "-continue",
             "-save_path", finetune_dir,
-        ] + args.extra)
+        ])
         # the finetuned student becomes the next teacher (final checkpoint
         # saved by the train loop)
         teacher = os.path.join(finetune_dir, "final.ckpt")
@@ -81,18 +86,18 @@ def main(argv=None, dry_run=False):
     if dry_run:
         return plan
 
-    import runpy
+    # Each stage runs in its OWN subprocess: JAX backend/config state must
+    # not leak between stages (platform selection and jax.config.update are
+    # once-per-process), and a stage crash cannot corrupt the orchestrator.
+    import subprocess
     import sys
 
     for stage in plan:
         module, stage_args = stage[0], stage[1:]
-        print(f"[selftrain] python -m {module} {' '.join(stage_args)}")
-        old_argv = sys.argv
-        sys.argv = [module] + stage_args
-        try:
-            runpy.run_module(module, run_name="__main__")
-        finally:
-            sys.argv = old_argv
+        print(f"[selftrain] python -m {module} {' '.join(stage_args)}",
+              flush=True)
+        subprocess.run([sys.executable, "-m", module] + stage_args,
+                       check=True)
     return plan
 
 

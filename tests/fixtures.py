@@ -135,6 +135,78 @@ def make_visdial_env(tmpdir, num_dialogs=4):
                      max_regions=13, **paths)
 
 
+def tiny_enc_dec_configs():
+    """Tiny EncoderConfig/DecoderConfig (same topology as conftest's
+    tiny_configs fixture) importable from subprocess driver scripts."""
+    from gstx.core.config import DecoderConfig, EncoderConfig
+
+    enc = EncoderConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64,
+        v_feature_size=16, v_target_size=11, v_hidden_size=24,
+        v_num_hidden_layers=2, v_num_attention_heads=4,
+        v_intermediate_size=24, bi_hidden_size=24, bi_num_attention_heads=4,
+        bi_intermediate_size=24, v_biattention_id=(0, 1),
+        t_biattention_id=(2, 3), hidden_dropout_prob=0.0,
+        v_hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        v_attention_probs_dropout_prob=0.0)
+    dec = DecoderConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    return enc, dec
+
+
+def make_train_rows_batch(enc_cfg, b=4, rounds=3, seq_len=24, regions=7,
+                          utt_len=10, seed=0):
+    """Deterministic [B, rounds, 1, ...] train batch (the train_gen step's
+    input layout) shared by the TP / multi-host tests and their subprocess
+    drivers."""
+    rng = np.random.RandomState(seed)
+    return {
+        "enc_input_ids": rng.randint(
+            1, enc_cfg.vocab_size,
+            size=(b, rounds, 1, seq_len)).astype(np.int32),
+        "enc_segments": np.zeros((b, rounds, 1, seq_len), np.int32),
+        "enc_sep_indices": np.zeros((b, rounds, 1, 8), np.int32),
+        "enc_mlm_labels": np.full((b, rounds, 1, seq_len), -1, np.int32),
+        "enc_att_mask": np.ones((b, rounds, 1, seq_len), np.float32),
+        "dec_input_ids": rng.randint(
+            1, enc_cfg.vocab_size,
+            size=(b, rounds, 1, utt_len)).astype(np.int32),
+        "dec_att_mask": np.ones((b, rounds, 1, utt_len), np.float32),
+        "dec_labels": rng.randint(
+            0, enc_cfg.vocab_size,
+            size=(b, rounds, 1, utt_len)).astype(np.int32),
+        "enc_image_feat": rng.rand(
+            b, regions, enc_cfg.v_feature_size).astype(np.float32),
+        "enc_image_loc": rng.rand(b, regions, 5).astype(np.float32),
+        "enc_image_mask": np.ones((b, regions), np.float32),
+    }
+
+
+def init_tiny_params(enc_cfg, dec_cfg, seq_len=24, regions=7, utt_len=10,
+                     seed=0):
+    """Deterministic tiny-model params for subprocess-shared tests."""
+    import jax
+    import jax.numpy as jnp
+
+    from gstx.models.encdec import GSTVisualDialog
+
+    init_batch = dict(
+        input_ids=jnp.ones((2, seq_len), jnp.int32),
+        image_feat=jnp.ones((2, regions, enc_cfg.v_feature_size)),
+        image_loc=jnp.ones((2, regions, 5)),
+        token_type_ids=jnp.zeros((2, seq_len), jnp.int32),
+        attention_mask=jnp.ones((2, seq_len), jnp.int32),
+        image_attention_mask=jnp.ones((2, regions), jnp.int32),
+        dec_input_ids=jnp.ones((2, utt_len), jnp.int32),
+        dec_attention_mask=jnp.ones((2, utt_len), jnp.int32))
+    model = GSTVisualDialog(enc_cfg, dec_cfg)
+    return model.init(jax.random.PRNGKey(seed), **init_batch,
+                      method=GSTVisualDialog.init_all)
+
+
 def write_vocab_file(path):
     """vocab.txt where line number == token id (gaps filled with [unusedN])."""
     vocab = make_test_vocab(WORDS)

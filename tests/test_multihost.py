@@ -1,0 +1,145 @@
+"""Two-process jax.distributed test of the multi-host path (VERDICT
+round-1 item #5).
+
+Spawns TWO subprocesses with a local coordinator (gloo CPU collectives,
+2 local devices each -> 4 global).  Each process runs the REAL multi-host
+code in gstx.core.mesh: init_distributed -> process_shard (its stripe of
+the global batch) -> make_global_batch (jax.make_array_from_process_local_
+data over the data axis) -> ONE full train_gen step.  Both processes must
+report the SAME loss, and it must equal the single-process value on the
+identically-assembled global batch — the classic
+make_array_from_process_local_data shape/order bugs all fail this.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO_ROOT = os.path.dirname(TESTS_DIR)
+
+# The child driver: runs the real gstx multi-host path in a fresh process.
+CHILD = r"""
+import sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {tests!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from gstx.core.mesh import (init_distributed, make_mesh, make_global_batch,
+                            process_shard, shard_by_path)
+init_distributed(coordinator_address={coord!r}, num_processes=2,
+                 process_id=int(sys.argv[1]))
+assert jax.process_count() == 2
+assert jax.device_count() == 4
+
+import numpy as np
+from fixtures import (init_tiny_params, make_train_rows_batch,
+                      tiny_enc_dec_configs)
+from gstx.models.encdec import GSTVisualDialog
+from gstx.train.optim import make_optimizer
+from gstx.train.train_gen import make_train_step
+
+enc_cfg, dec_cfg = tiny_enc_dec_configs()
+global_batch = make_train_rows_batch(enc_cfg, b=4)
+stripe = process_shard(4)            # this host's rows of the global batch
+local = {{k: v[stripe] for k, v in global_batch.items()}}
+
+mesh = make_mesh(4, 1)
+model = GSTVisualDialog(enc_cfg, dec_cfg, mesh=mesh)
+params = shard_by_path(mesh, init_tiny_params(enc_cfg, dec_cfg))
+optimizer = make_optimizer(1e-4, 1e-4, 10, 1000)
+opt_state = shard_by_path(mesh, optimizer.init(params))
+step_fn = make_train_step(model, optimizer, batch_size=4)
+dev_batch = make_global_batch(mesh, local)
+with mesh:
+    _, _, metrics = step_fn(params, opt_state, dev_batch,
+                            jax.random.PRNGKey(42))
+    loss = float(metrics["lm_loss"])
+print(f"MULTIHOST_LOSS {{loss:.10f}}", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step(tmp_path):
+    coord = f"localhost:{_free_port()}"
+    script = tmp_path / "child.py"
+    script.write_text(CHILD.format(
+        repo=REPO_ROOT, tests=TESTS_DIR, coord=coord,
+        cache=os.path.join(REPO_ROOT, ".jax_cache")))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MULTIHOST_LOSS")]
+        assert lines, out[-2000:]
+        losses.append(float(lines[0].split()[1]))
+    assert losses[0] == losses[1]
+
+    # single-process reference on the identically-assembled global batch:
+    # make_array_from_process_local_data lays out process 0's rows on its
+    # devices first, so the effective global order is the process-stripe
+    # permutation [rows of p0; rows of p1] = [0, 2, 1, 3].
+    import jax
+
+    from fixtures import (init_tiny_params, make_train_rows_batch,
+                          tiny_enc_dec_configs)
+    from gstx.core.mesh import (make_mesh, make_global_batch, process_shard,
+                                shard_by_path)
+    from gstx.models.encdec import GSTVisualDialog
+    from gstx.train.optim import make_optimizer
+    from gstx.train.train_gen import make_train_step
+
+    enc_cfg, dec_cfg = tiny_enc_dec_configs()
+    global_batch = make_train_rows_batch(enc_cfg, b=4)
+    perm = np.concatenate([process_shard(4, i, 2) for i in range(2)])
+    permuted = {k: v[perm] for k, v in global_batch.items()}
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    model = GSTVisualDialog(enc_cfg, dec_cfg, mesh=mesh)
+    params = shard_by_path(mesh, init_tiny_params(enc_cfg, dec_cfg))
+    optimizer = make_optimizer(1e-4, 1e-4, 10, 1000)
+    opt_state = shard_by_path(mesh, optimizer.init(params))
+    step_fn = make_train_step(model, optimizer, batch_size=4)
+    dev_batch = make_global_batch(mesh, permuted)
+    with mesh:
+        _, _, metrics = step_fn(params, opt_state, dev_batch,
+                                jax.random.PRNGKey(42))
+        single_loss = float(metrics["lm_loss"])
+    np.testing.assert_allclose(losses[0], single_loss, rtol=1e-5, atol=1e-7)
+
+
+def test_process_shard_striping():
+    """Deterministic, disjoint, covering stripes."""
+    from gstx.core.mesh import process_shard
+
+    a = process_shard(10, 0, 3)
+    b = process_shard(10, 1, 3)
+    c = process_shard(10, 2, 3)
+    got = np.sort(np.concatenate([a, b, c]))
+    np.testing.assert_array_equal(got, np.arange(10))
+    assert not set(a) & set(b) and not set(b) & set(c)
