@@ -55,9 +55,20 @@ def main(argv=None, max_batches=None):
             cos_sim = np.load(config.cos_sim_counter_fitting)
             cos_idx2word = pickle.load(open(config.cos_sim_idx2word, "rb"))
             cos_word2idx = pickle.load(open(config.cos_sim_word2idx, "rb"))
+        if config.mlm_path:
+            # independent attacker MLM (reference text_attack.py:19-27:
+            # a separately-trained BertForMaskedLM, NOT the victim's head)
+            from gstx.models.mlm import load_mlm_attacker, \
+                make_standalone_mlm_fill
+
+            mlm_model, mlm_params = load_mlm_attacker(config.mlm_path)
+            mlm_fill = make_standalone_mlm_fill(mlm_model, mlm_params)
+        else:
+            # self-contained fallback: the dialog model's own MLM head
+            mlm_fill = make_mlm_fill(model, params)
         text_attack = TextAttack(
             tokenizer, cos_sim, cos_idx2word, cos_word2idx,
-            mlm_fill=make_mlm_fill(model, params),
+            mlm_fill=mlm_fill,
             max_seq_len=config.max_seq_len)
         if config.attack == "coreference":
             coref_dependency = json.load(

@@ -167,6 +167,10 @@ class GSTConfig:
     cos_sim_counter_fitting: str = "data/visdial/cos_sim_counter_fitting.npy"
     cos_sim_idx2word: str = "data/visdial/cos_sim_idx2word.pickle"
     cos_sim_word2idx: str = "data/visdial/cos_sim_word2idx.pickle"
+    # independent attacker MLM for the random_token attack (the reference's
+    # BertForMaskedLM('bert-base-uncased'), text_attack.py:19-27); empty ->
+    # fall back to the dialog model's own MLM head
+    mlm_path: str = ""
     start_path: str = ""
     start_path_q: str = ""
     start_path_a: str = ""

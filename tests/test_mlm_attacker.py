@@ -1,0 +1,189 @@
+"""Standalone BertForMaskedLM attacker rebuild (VERDICT round-1 item #6,
+SURVEY §2.7 row 'BertForMaskedLM rebuild').
+
+The reference's random_token attack uses an INDEPENDENT
+BertForMaskedLM('bert-base-uncased') (utils/text_attack.py:19-56) so the
+attacker does not share weights with the victim.  These tests pin:
+
+  * logits parity of gstx.models.mlm.BertMLM against the REAL huggingface
+    BertForMaskedLM (tiny config) through the hf-state-dict converter;
+  * loading via -mlm_path (torch .bin state dict) end to end;
+  * that the standalone attacker produces DIFFERENT mask refills than the
+    self-contained fallback (quantifying the documented round-1 deviation).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gstx.core.config import MASK_ID  # noqa: E402
+from gstx.models.mlm import (  # noqa: E402
+    BertMLM,
+    convert_hf_bert_mlm_state_dict,
+    load_mlm_attacker,
+    make_standalone_mlm_fill,
+    mlm_config,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_mlm():
+    cfg = transformers.BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=64, attn_implementation="eager")
+    torch.manual_seed(5)
+    model = transformers.BertForMaskedLM(cfg).eval()
+    return cfg, model
+
+
+def test_bert_mlm_matches_huggingface(hf_mlm):
+    cfg, model = hf_mlm
+    g = torch.Generator().manual_seed(6)
+    input_ids = torch.randint(1, cfg.vocab_size, (3, 12), generator=g)
+    token_type = torch.randint(0, 2, (3, 12), generator=g)
+    attn = (torch.rand(3, 12, generator=g) > 0.2).long()
+    attn[:, 0] = 1
+    with torch.no_grad():
+        want = model(input_ids=input_ids, attention_mask=attn,
+                     token_type_ids=token_type).logits.numpy()
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    tree = convert_hf_bert_mlm_state_dict(sd, cfg.num_hidden_layers)
+    fl = BertMLM(mlm_config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings))
+    got = fl.apply({"params": tree}, jnp.asarray(input_ids.numpy()),
+                   jnp.asarray(token_type.numpy()),
+                   jnp.asarray(attn.numpy()))
+    # padded positions attend uniformly under HF's dtype-min mask vs our
+    # -10000 — compare only valid positions
+    valid = attn.numpy().astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[valid], want[valid],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_load_mlm_attacker_from_torch_bin(hf_mlm, tmp_path):
+    cfg, model = hf_mlm
+    path = os.path.join(str(tmp_path), "pytorch_model.bin")
+    torch.save(model.state_dict(), path)
+    # head count is not recoverable from a state dict (the auto-derived
+    # 64-per-head convention only fits full-size BERTs) — pass the config
+    fl, params = load_mlm_attacker(path, config=mlm_config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings))
+    assert fl.config.vocab_size == cfg.vocab_size
+    assert fl.config.num_hidden_layers == cfg.num_hidden_layers
+    assert fl.config.intermediate_size == cfg.intermediate_size
+
+    # shape-derivation path (bert-base convention) still loads and runs
+    auto_fl, auto_params = load_mlm_attacker(path)
+    assert auto_fl.config.vocab_size == cfg.vocab_size
+    assert auto_fl.config.max_position_embeddings == \
+        cfg.max_position_embeddings
+
+    g = torch.Generator().manual_seed(8)
+    input_ids = torch.randint(1, cfg.vocab_size, (2, 10), generator=g)
+    with torch.no_grad():
+        want = model(input_ids=input_ids).logits.numpy()
+    fill = make_standalone_mlm_fill(fl, params)
+    got = np.asarray(fill(input_ids.numpy(),
+                          np.zeros((2, 10), np.int32),
+                          np.ones((2, 10), np.int32)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_cli_attack_random_token_with_mlm_path(tmp_path):
+    """evaluate_gen_attack -mlm_path uses the independent attacker end to
+    end (reference parity for text_attack.py:19-27)."""
+    from fixtures import make_cli_env
+    from gstx.cli.common import build_model, init_params
+    from gstx.cli.evaluate_gen_attack import main
+    from gstx.core.checkpoint import save_checkpoint
+
+    tmpdir = str(tmp_path)
+    args, cfg = make_cli_env(tmpdir)
+    model, enc_cfg, dec_cfg = build_model(cfg)
+    ckpt = os.path.join(tmpdir, "model_0.ckpt")
+    save_checkpoint(ckpt, init_params(model, cfg, seed=0), step=0)
+
+    # attacker sized to the fixture vocab (256); bert-base head convention
+    hf_cfg = transformers.BertConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=1,
+        num_attention_heads=1, intermediate_size=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=128)
+    mlm_bin = os.path.join(tmpdir, "attacker.bin")
+    torch.save(transformers.BertForMaskedLM(hf_cfg).state_dict(), mlm_bin)
+
+    metrics = main(args + ["-mode", "vd_eval_val", "-attack", "random_token",
+                           "-start_path", ckpt, "-mask_prob", "0.3",
+                           "-mlm_path", mlm_bin],
+                   max_batches=1)
+    assert "mrr" in metrics
+
+
+def test_standalone_vs_self_contained_refills_differ(hf_mlm, tiny_configs):
+    """Quantify the round-1 deviation: the independent attacker and the
+    victim's own MLM head fill masks differently (they share no weights)."""
+    from fixtures import init_tiny_params
+    from gstx.eval.attacks import TextAttack, make_mlm_fill
+    from gstx.models.encdec import GSTVisualDialog
+    from gstx.models.mlm import make_standalone_mlm_fill
+
+    cfg, hf = hf_mlm
+    enc_cfg, dec_cfg = tiny_configs
+    model = GSTVisualDialog(enc_cfg, dec_cfg)
+    params = init_tiny_params(enc_cfg, dec_cfg)
+
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    tree = convert_hf_bert_mlm_state_dict(sd, cfg.num_hidden_layers)
+    attacker = BertMLM(mlm_config(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings))
+
+    rng = np.random.RandomState(0)
+    B, L, R = 4, 16, 7
+    # all candidate rows share the same context (the attack predicts row 0
+    # and broadcasts it, text_attack.py:40-55)
+    ids = np.tile(rng.randint(1, 120, size=(1, L)).astype(np.int32), (B, 1))
+    ids[:, 3] = MASK_ID
+    ids[:, 9] = MASK_ID
+    seg = np.zeros((B, L), np.int32)
+    att = np.ones((B, L), np.float32)
+    image = {"feat": rng.rand(B, R, enc_cfg.v_feature_size).astype(
+        np.float32), "loc": rng.rand(B, R, 5).astype(np.float32),
+        "mask": np.ones((B, R), np.float32)}
+
+    own = TextAttack(None, mlm_fill=make_mlm_fill(model, params))
+    ind = TextAttack(None, mlm_fill=make_standalone_mlm_fill(
+        attacker, {"params": tree}))
+    out_own = own.random_token_attack(ids, seg, att, image)
+    out_ind = ind.random_token_attack(ids, seg, att, image)
+    # masks are refilled in both...
+    assert not (out_own == MASK_ID).any()
+    assert not (out_ind == MASK_ID).any()
+    # ...non-mask positions untouched...
+    keep = ids != MASK_ID
+    np.testing.assert_array_equal(out_own[keep], ids[keep])
+    np.testing.assert_array_equal(out_ind[keep], ids[keep])
+    # ...and the two attackers disagree on at least one refill
+    assert (out_own != out_ind).any()
