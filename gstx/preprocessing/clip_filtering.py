@@ -61,21 +61,34 @@ def score_images(in_domain_features: np.ndarray,
             for i, lp in zip(image_ids, log_probs)]
 
 
-def extract_clip_features(image_paths, device=None):  # pragma: no cover
-    """Optional CLIP ViT-B/32 visual features (needs the `clip` package and
-    image files; unavailable in hermetic environments)."""
-    import clip  # optional dependency
-    import torch
+def extract_clip_features(image_paths, device=None, batch_size: int = 64,
+                          clip_module=None):
+    """CLIP ViT-B/32 visual features over image files, batched like the
+    reference's extraction loop (clip_in_domain_filtering.py:126-151):
+    preprocess each image, stack into [B, C, H, W] batches, run
+    ``model.visual`` once per batch in the visual tower's weight dtype, and
+    concatenate to [N, D].
 
-    model, preprocess = clip.load("ViT-B/32", device=device or "cpu")
-    feats = []
+    ``clip_module`` injects the (optional) ``clip`` package for tests; by
+    default the real package is imported.
+    """
+    import torch
     from PIL import Image
 
+    if clip_module is None:
+        import clip as clip_module  # optional dependency
+
+    model, preprocess = clip_module.load("ViT-B/32", device=device or "cpu")
+    visual = model.visual
+    dtype = visual.conv1.weight.dtype
+    feats = []
+    paths = list(image_paths)
     with torch.no_grad():
-        for path in image_paths:
-            img = preprocess(Image.open(path)).unsqueeze(0)
-            feats.append(model.visual(
-                img.type(model.visual.conv1.weight.dtype)).numpy())
+        for start in range(0, len(paths), batch_size):
+            imgs = [preprocess(Image.open(p))
+                    for p in paths[start:start + batch_size]]
+            batch = torch.stack(imgs, dim=0).type(dtype)
+            feats.append(visual(batch).float().cpu().numpy())
     return np.concatenate(feats, axis=0)
 
 

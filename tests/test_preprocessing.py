@@ -132,3 +132,58 @@ def test_cov_mean_matches_numpy():
     cov, mean = cov_mean(x)
     np.testing.assert_allclose(cov, np.cov(x, rowvar=False), rtol=1e-10)
     np.testing.assert_allclose(mean, x.mean(0), rtol=1e-10)
+
+
+def test_extract_clip_features_batched(tmp_path):
+    """extract_clip_features (VERDICT round-1 item #7): the batched
+    extraction loop — preprocess per image, stacked [B,C,H,W] batches,
+    visual-tower dtype conversion, [N,D] concat — tested via a stubbed clip
+    module (the real ViT-B/32 download is unavailable offline).  Mirrors
+    the reference loop clip_in_domain_filtering.py:126-151."""
+    import types
+
+    import torch
+    from PIL import Image
+
+    from gstx.preprocessing.clip_filtering import extract_clip_features
+
+    # 5 tiny distinct images on disk
+    paths = []
+    for i in range(5):
+        arr = np.full((8, 8, 3), i * 40, np.uint8)
+        p = str(tmp_path / f"img{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+
+    seen_dtypes = []
+
+    class StubVisual(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, 4, 1)
+            self.conv1.weight.data = self.conv1.weight.data.half()
+
+        def forward(self, x):  # [B, 3, 8, 8] -> [B, 7] deterministic
+            seen_dtypes.append(x.dtype)
+            pooled = x.float().mean(dim=(2, 3))          # [B, 3]
+            return torch.cat([pooled, pooled.flip(1), pooled[:, :1]], dim=1)
+
+    def preprocess(img):
+        a = np.asarray(img, np.float32) / 255.0
+        return torch.from_numpy(a).permute(2, 0, 1)
+
+    stub = types.SimpleNamespace(load=lambda name, device=None: (
+        types.SimpleNamespace(visual=StubVisual()), preprocess))
+
+    feats = extract_clip_features(paths, batch_size=2, clip_module=stub)
+    assert feats.shape == (5, 7)
+    assert feats.dtype == np.float32
+    # batching must not change results (reference: one forward per batch)
+    feats_big = extract_clip_features(paths, batch_size=64, clip_module=stub)
+    np.testing.assert_allclose(feats, feats_big, rtol=1e-3)
+    # visual tower ran in its weight dtype (model.module.conv1.weight.dtype
+    # conversion, reference :145)
+    assert all(d == torch.float16 for d in seen_dtypes)
+    # distinct images -> distinct features, deterministic values
+    assert len({tuple(np.round(f, 4)) for f in feats}) == 5
+    np.testing.assert_allclose(feats[1, :3], 40 / 255.0, rtol=1e-2)
