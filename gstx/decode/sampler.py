@@ -70,8 +70,8 @@ def sample_sequence(
     tokens = jnp.zeros((batch, t_max), dtype=jnp.int32)
     tokens = tokens.at[:, 0].set(bos_id)
 
-    def body(carry, step):
-        tokens, caches, rng = carry
+    def body(carry):
+        tokens, caches, rng, step, done = carry
         cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)  # [B,1]
         logits, caches = step_fn(cur, step, caches)
         logits = logits / settings.temperature
@@ -84,9 +84,21 @@ def sample_sequence(
         nxt = sample_token(sub, logits).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt[:, None], (0, step + 1))
-        return (tokens, caches, rng), None
+        done = jnp.logical_or(done, nxt == eos_id)
+        return tokens, caches, rng, step + 1, done
 
-    (tokens, _, _), _ = jax.lax.scan(
-        body, (tokens, caches, rng), jnp.arange(settings.max_steps))
+    def cond(carry):
+        _, _, _, step, done = carry
+        # early-EOS exit: once EVERY row has emitted EOS, the remaining
+        # steps only produce tokens that pad_after_eos discards — skipping
+        # them is output-identical (executed steps consume the same rng
+        # splits as the fixed-length loop).
+        return jnp.logical_and(step < settings.max_steps,
+                               jnp.logical_not(jnp.all(done)))
+
+    tokens, _, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (tokens, caches, rng, jnp.asarray(0, jnp.int32),
+         jnp.zeros((batch,), dtype=bool)))
     seq = tokens[:, 1:]
     return pad_after_eos(seq, eos_id, PAD_ID)

@@ -92,3 +92,28 @@ def test_pad_after_eos():
     np.testing.assert_array_equal(got[0], [5, 6, 102, 0, 0, 0])
     np.testing.assert_array_equal(got[1], [5, 6, 7, 8, 9, 10])
     np.testing.assert_array_equal(got[2], [102, 0, 0, 0, 0, 0])
+
+
+def test_kth_largest_matches_lax_top_k():
+    """The iterative kth-largest (fast path for small k on TPU — lax.top_k
+    is sort-based and ~10x slower on a 30k vocab) must be EXACT, including
+    duplicate values straddling the k-th position."""
+    import jax.numpy as jnp
+    from gstx.ops.sampling import _kth_largest, top_k_filter, NEG_INF
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(5, 1000).astype(np.float32))
+    x = x.at[0, :10].set(3.14)          # duplicates at the top
+    x = x.at[1, 500:504].set(x[1].max())
+    for k in (1, 2, 7, 16):
+        want_kth = jax.lax.top_k(x, k)[0][..., -1, None]
+        np.testing.assert_array_equal(np.asarray(_kth_largest(x, k)),
+                                      np.asarray(want_kth))
+        want = jnp.where(x < want_kth, NEG_INF, x)
+        np.testing.assert_array_equal(np.asarray(top_k_filter(x, k)),
+                                      np.asarray(want))
+    x3 = jnp.asarray(rng.randn(2, 3, 64).astype(np.float32))
+    for k in (1, 5):
+        want_kth = jax.lax.top_k(x3, k)[0][..., -1, None]
+        np.testing.assert_array_equal(np.asarray(_kth_largest(x3, k)),
+                                      np.asarray(want_kth))
