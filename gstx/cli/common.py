@@ -87,13 +87,14 @@ def build_tokenizer(config: GSTConfig) -> BertTokenizer:
     return BertTokenizer(vocab_path=config.vocab_path)
 
 
-def build_model(config: GSTConfig, use_decoder: bool = True
+def build_model(config: GSTConfig, use_decoder: bool = True,
+                remat: bool = False
                 ) -> Tuple[GSTVisualDialog, EncoderConfig, DecoderConfig]:
     enc_cfg = config.encoder_config()
     dec_cfg = config.decoder_config()
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     model = GSTVisualDialog(enc_cfg, dec_cfg, use_decoder=use_decoder,
-                            dtype=dtype)
+                            dtype=dtype, remat=remat)
     return model, enc_cfg, dec_cfg
 
 

@@ -52,7 +52,8 @@ def main(argv=None, max_steps=None):
     num_iter_epoch = max(1, len(dataset) // config.batch_size)
     t_total = num_iter_epoch * config.num_epochs
 
-    model, enc_cfg, dec_cfg = build_model(config, use_decoder=False)
+    model, enc_cfg, dec_cfg = build_model(config, use_decoder=False,
+                                      remat=config.remat)
     if config.start_path:
         params = load_params(model, config, config.start_path)
     else:

@@ -237,6 +237,10 @@ class GSTConfig:
     model_parallel: int = 1
     warmup_steps: int = 1500  # train_gen.py:180 (disc uses 10000, train_disc.py:146)
     distributed: bool = False  # multi-host: jax.distributed over DCN
+    # per-layer jax.checkpoint in the TRAINING forward (trades ~30% extra
+    # FLOPs for the f32 attention-score memory; reference batch 72 does not
+    # fit a 16 GB chip without it).  Decode/eval paths never remat.
+    remat: bool = True
     seed: int = 0
     log_every: int = 10
     use_pallas: bool = False

@@ -158,6 +158,7 @@ class GSTDecoderModel(nn.Module):
 
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # per-layer jax.checkpoint on the teacher-forced path
 
     def setup(self):
         self.layers = [
@@ -200,9 +201,16 @@ class GSTDecoderModel(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones(x.shape[:2], dtype=jnp.int32)
         self_mask = causal_additive_mask(attention_mask, dtype=self.dtype)
+        if self.remat:
+            call = nn.remat(
+                lambda layer, h, sm, mem, mm, det: layer(
+                    h, sm, mem, mm, deterministic=det),
+                static_argnums=(5,))
+        else:
+            call = lambda layer, h, sm, mem, mm, det: layer(
+                h, sm, mem, mm, deterministic=det)
         for layer in self.layers:
-            x = layer(x, self_mask, memory, memory_mask,
-                      deterministic=deterministic)
+            x = call(layer, x, self_mask, memory, memory_mask, deterministic)
         return x
 
     def forward_cached(

@@ -42,6 +42,9 @@ class GSTVisualDialog(nn.Module):
     # so each chip computes a [.., V/tp] logits shard and only the softmax
     # reductions cross chips.
     mesh: Optional[jax.sharding.Mesh] = None
+    # per-layer jax.checkpoint (training memory; reference batch 72 needs
+    # ~2.7 GB of f32 attention scores per text stream without it)
+    remat: bool = False
 
     def _shard_logits(self, x):
         """Keep the trailing vocab axis of logits partitioned over the
@@ -59,12 +62,12 @@ class GSTVisualDialog(nn.Module):
 
     def setup(self):
         self.encoder = GSTEncoderModel(self.enc_config, dtype=self.dtype,
-                                       name="encoder")
+                                       remat=self.remat, name="encoder")
         self.cls = PreTrainingHeads(self.enc_config, dtype=self.dtype,
                                     name="cls")
         if self.use_decoder:
             self.decoder = GSTDecoderModel(self.dec_config, dtype=self.dtype,
-                                           name="decoder")
+                                           remat=self.remat, name="decoder")
             # VLFusion (visual_dialog_model.py:123-135)
             self.fusion_fc_l = dense(
                 self.enc_config.hidden_size, self.dtype, "fusion_fc_l")

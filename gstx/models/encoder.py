@@ -26,6 +26,7 @@ from gstx.models.two_stream import Pooler, TwoStreamEncoder
 class GSTEncoderModel(nn.Module):
     config: EncoderConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # per-layer jax.checkpoint for the training path
 
     def setup(self):
         cfg = self.config
@@ -33,7 +34,8 @@ class GSTEncoderModel(nn.Module):
                                            name="embeddings")
         self.v_embeddings = ImageEmbeddings(cfg, dtype=self.dtype,
                                             name="v_embeddings")
-        self.encoder = TwoStreamEncoder(cfg, dtype=self.dtype, name="encoder")
+        self.encoder = TwoStreamEncoder(cfg, dtype=self.dtype,
+                                        remat=self.remat, name="encoder")
         self.t_pooler = Pooler(cfg.bi_hidden_size, dtype=self.dtype,
                                name="t_pooler")
         self.v_pooler = Pooler(cfg.bi_hidden_size, dtype=self.dtype,

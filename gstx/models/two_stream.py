@@ -153,6 +153,12 @@ class TwoStreamEncoder(nn.Module):
 
     config: EncoderConfig
     dtype: jnp.dtype = jnp.float32
+    # rematerialize each layer in the backward pass (jax.checkpoint): the
+    # f32 attention scores of 12 x [B,12,256,256] dominate training HBM at
+    # the reference batch 72 and do not fit a 16 GB chip without remat.
+    # Forward-only paths (decode/eval) leave this False — checkpoint is a
+    # semantic no-op without grad but changes the compiled program.
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -196,6 +202,18 @@ class TwoStreamEncoder(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
+        if self.remat:
+            stream = nn.remat(
+                lambda layer, x, m, det: layer(x, m, deterministic=det),
+                static_argnums=(3,))
+            co = nn.remat(
+                lambda layer, xv, mv, xt, mt, det: layer(
+                    xv, mv, xt, mt, deterministic=det),
+                static_argnums=(5,))
+        else:
+            stream = lambda layer, x, m, det: layer(x, m, deterministic=det)
+            co = lambda layer, xv, mv, xt, mt, det: layer(
+                xv, mv, xt, mt, deterministic=det)
         # fixed_t/v_layer (frozen prefixes under no_grad,
         # vilbert_dialog.py:839-858) are realised with stop_gradient.
         v_start, t_start = 0, 0
@@ -204,27 +222,27 @@ class TwoStreamEncoder(nn.Module):
         ):
             for idx in range(v_start, min(cfg.fixed_v_layer, v_end)):
                 v_emb = jax.lax.stop_gradient(
-                    self.v_layers[idx](v_emb, v_mask, deterministic=deterministic))
+                    stream(self.v_layers[idx], v_emb, v_mask, deterministic))
                 v_start = cfg.fixed_v_layer
             for idx in range(v_start, v_end):
-                v_emb = self.v_layers[idx](v_emb, v_mask,
-                                           deterministic=deterministic)
+                v_emb = stream(self.v_layers[idx], v_emb, v_mask,
+                               deterministic)
             for idx in range(t_start, min(cfg.fixed_t_layer, t_end)):
                 t_emb = jax.lax.stop_gradient(
-                    self.t_layers[idx](t_emb, t_mask, deterministic=deterministic))
+                    stream(self.t_layers[idx], t_emb, t_mask, deterministic))
                 t_start = cfg.fixed_t_layer
             for idx in range(t_start, t_end):
-                t_emb = self.t_layers[idx](t_emb, t_mask,
-                                           deterministic=deterministic)
+                t_emb = stream(self.t_layers[idx], t_emb, t_mask,
+                               deterministic)
             if cfg.with_coattention:
-                v_emb, t_emb = self.c_layers[count](
-                    v_emb, v_mask, t_emb, t_mask, deterministic=deterministic)
+                v_emb, t_emb = co(self.c_layers[count], v_emb, v_mask,
+                                  t_emb, t_mask, deterministic)
             v_start, t_start = v_end, t_end
 
         for idx in range(v_start, cfg.v_num_hidden_layers):
-            v_emb = self.v_layers[idx](v_emb, v_mask, deterministic=deterministic)
+            v_emb = stream(self.v_layers[idx], v_emb, v_mask, deterministic)
         for idx in range(t_start, cfg.num_hidden_layers):
-            t_emb = self.t_layers[idx](t_emb, t_mask, deterministic=deterministic)
+            t_emb = stream(self.t_layers[idx], t_emb, t_mask, deterministic)
         return t_emb, v_emb
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Dict
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -48,7 +50,10 @@ def make_disc_train_step(model: GSTVisualDialog, optimizer,
                 + config.img_loss_coeff * img)
         return loss, {"lm_loss": lm, "img_loss": img, "nsp_loss": nsp_l}
 
-    @jax.jit
+    # donate params/opt_state: each step consumes them, halving the
+    # HBM watermark and letting async-dispatched step chains reuse
+    # buffers instead of accumulating live copies
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         rng_sample, rng_dropout = jax.random.split(rng)
         b, rounds, samples = batch["tokens"].shape[:3]

@@ -70,7 +70,10 @@ def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int):
             method=GSTVisualDialog.score)
         return teacher_forced_loss(logits, rows["dec_labels"])
 
-    @jax.jit
+    # donate params/opt_state: each step consumes them, halving the
+    # HBM watermark and letting async-dispatched step chains reuse
+    # buffers instead of accumulating live copies
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         rng_sample, rng_dropout = jax.random.split(rng)
         dec_labels = batch["dec_labels"]
@@ -97,7 +100,8 @@ def init_model_and_state(config: GSTConfig, rng,
     enc_cfg = config.encoder_config()
     dec_cfg = config.decoder_config()
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-    model = GSTVisualDialog(enc_cfg, dec_cfg, dtype=dtype)
+    model = GSTVisualDialog(enc_cfg, dec_cfg, dtype=dtype,
+                            remat=config.remat)
 
     b = 2
     l, r, t = config.max_seq_len, config.max_regions, config.max_utt_len

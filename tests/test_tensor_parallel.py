@@ -73,7 +73,9 @@ def tp_setup(tiny_configs):
     model0 = GSTVisualDialog(enc_cfg, dec_cfg)
     params = model0.init(jax.random.PRNGKey(0), **init_batch,
                          method=GSTVisualDialog.init_all)
-    return enc_cfg, dec_cfg, params, batch
+    # host copies: the train step DONATES its params/opt_state buffers, so
+    # each run must device_put from an undeletable host tree
+    return enc_cfg, dec_cfg, jax.device_get(params), batch
 
 
 def _run_one_step(enc_cfg, dec_cfg, params, batch, data_par, model_par):
@@ -118,8 +120,11 @@ def test_lm_head_matmul_is_partitioned(tp_setup):
     LM-head weight at its LOCAL [V/2, d] shape — proof the vocab matmul is
     tensor-parallel rather than all-gathered."""
     enc_cfg, dec_cfg, params, batch = tp_setup
-    (loss, _, mesh, model, optimizer, sh_params, opt_state,
+    (loss, _, mesh, model, optimizer, _, _,
      dev_batch) = _run_one_step(enc_cfg, dec_cfg, params, batch, 2, 2)
+    # re-shard from host copies: the run above donated its buffers
+    sh_params = shard_by_path(mesh, params)
+    opt_state = shard_by_path(mesh, optimizer.init(sh_params))
     step_fn = make_train_step(model, optimizer, batch_size=4)
     with mesh:
         lowered = step_fn.lower(sh_params, opt_state, dev_batch,

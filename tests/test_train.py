@@ -105,7 +105,9 @@ def train_env(tmp_path_factory, tiny_configs):
         dec_attention_mask=jnp.ones((b, t), jnp.int32))
     params = model.init(jax.random.PRNGKey(0), **init_batch,
                         method=GSTVisualDialog.init_all)
-    return cfg, tok, model, params
+    # host copies: train steps DONATE their params/opt_state buffers, and
+    # this fixture is module-scoped — tests must not share deletable arrays
+    return cfg, tok, model, jax.device_get(params)
 
 
 @pytest.mark.slow
