@@ -38,6 +38,9 @@ def main():
     parser.add_argument("-context_buckets", type=str, default="128,192",
                         help="comma-separated context widths for early "
                              "rounds; '' disables")
+    parser.add_argument("-pallas", type=int, default=1,
+                        help="1 = fused pallas FFN/LN kernels (production "
+                             "default), 0 = pure-XLA path")
     args = parser.parse_args()
 
     import jax
@@ -47,6 +50,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
+
+    if args.pallas:
+        from gstx.kernels import ffn as _pf
+        _pf.enable(True)
 
     from gstx.core.config import (CLS_ID, SEP_ID, DecoderConfig,
                                   EncoderConfig)

@@ -78,9 +78,13 @@ def apply_runtime_flags(config):
 
         init_distributed()
     if config.use_pallas:
-        from gstx.kernels import attention as pk
+        # fused FFN / projection+LN epilogue kernels: measured wins over XLA
+        # at production shapes (PERF.md round 2).  The whole-block attention
+        # kernel (gstx.kernels.attention) stays off — XLA's fused attention
+        # beats it and upstream flash_attention at S<=256 (scripts/attn_bench).
+        from gstx.kernels import ffn as pf
 
-        pk.enable(True)
+        pf.enable(True)
 
 
 def build_tokenizer(config: GSTConfig) -> BertTokenizer:

@@ -243,7 +243,7 @@ class GSTConfig:
     remat: bool = True
     seed: int = 0
     log_every: int = 10
-    use_pallas: bool = False
+    use_pallas: bool = True  # fused pallas FFN/LN epilogue kernels (TPU bf16)
 
     def encoder_config(self) -> EncoderConfig:
         if self.model_enc_config:

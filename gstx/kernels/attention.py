@@ -18,9 +18,15 @@ inside one jit): XLA's fused lowering runs this op at 0.37 ms; this kernel
 at 0.72 ms — the 2x is exactly the dh 64->128 lane-padding FLOP waste, and
 XLA's own fusion already avoids the HBM round-trip at these sizes.  The
 kernel therefore ships DISABLED by default: it is correct (tested against
-the jnp path in interpret mode and on TPU), and is the starting point for a
-head-packed variant; for the production schedule the profitable Pallas
-targets are whole-decoder-step fusion, not single attention ops.
+the jnp path in interpret mode and on TPU).
+
+Round-2 follow-up (scripts/attn_bench.py, batch 96): upstream
+jax.experimental.pallas.ops.tpu.flash_attention with segment-id padding
+masks ties XLA at S=256 (1.10 vs 1.05 ms), loses 9x at S=128 (636 vs 71 us
+— XLA fully fuses the small case), and cannot tile S=192.  Isolated
+single-op attention is therefore left to XLA at these sequence lengths; the
+profitable pallas targets at GST shapes are the matmul+epilogue fusions in
+gstx/kernels/ffn.py (measured 1.7x on the FFN block).
 """
 
 from __future__ import annotations

@@ -51,6 +51,61 @@ def layer_norm(eps: float = 1e-12, dtype=jnp.float32, name: Optional[str] = None
     return nn.LayerNorm(epsilon=eps, dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
+class PDense(nn.Module):
+    """``nn.Dense`` twin with setup-declared params.
+
+    Identical param tree ({name: {kernel, bias}}), shapes, initializers and
+    dtype-promotion rules as :func:`dense`, but the parameters are created in
+    ``setup`` so a parent module can read ``.kernel`` / ``.bias`` and hand
+    them to a fused pallas kernel without invoking the matmul.
+    """
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32)
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros,
+                (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), self.kernel.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            precision=prec_for(self.dtype))
+        if self.use_bias:
+            y = y + self.bias.astype(self.dtype)
+        return y
+
+
+class PLayerNorm(nn.Module):
+    """``nn.LayerNorm`` twin with setup-declared params (scale/bias), f32
+    statistics, TF-style eps inside the sqrt."""
+
+    dim: int
+    eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = jnp.square(xf - mean).mean(axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * self.scale + self.bias).astype(self.dtype)
+
+
 def additive_mask(binary_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """[B, L] {0,1} -> [B, 1, 1, L] additive mask with -10000 at masked slots.
 
@@ -146,6 +201,8 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        from gstx.kernels import ffn as _pf
+
         d_model = x.shape[-1]
         inner = self.num_heads * self.head_dim
         qkv = dense(3 * inner, self.dtype, "qkv")(x)
@@ -162,9 +219,17 @@ class SelfAttention(nn.Module):
             dtype=self.dtype,
         )
         ctx = merge_heads(ctx)
-        out = dense(d_model, self.dtype, "out")(ctx)
+        proj = PDense(d_model, inner, self.dtype, name="out")
+        ln = PLayerNorm(d_model, dtype=self.dtype, name="out_ln")
+        fused = _pf.maybe_fused_dense_ln(
+            ctx, proj.kernel, proj.bias, x, ln.scale, ln.bias,
+            eps=ln.eps, dropout_rate=self.hidden_dropout,
+            deterministic=deterministic, dtype=self.dtype)
+        if fused is not None:
+            return fused
+        out = proj(ctx)
         out = nn.Dropout(self.hidden_dropout)(out, deterministic=deterministic)
-        return layer_norm(dtype=self.dtype, name="out_ln")(out + x)
+        return ln(out + x)
 
 
 class FeedForward(nn.Module):
@@ -178,12 +243,26 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from gstx.kernels import ffn as _pf
+
         d_model = x.shape[-1]
-        h = dense(self.intermediate_size, self.dtype, "intermediate")(x)
-        h = ACT2FN[self.activation](h)
-        h = dense(d_model, self.dtype, "output")(h)
+        d1 = PDense(self.intermediate_size, d_model, self.dtype,
+                    name="intermediate")
+        d2 = PDense(d_model, self.intermediate_size, self.dtype,
+                    name="output")
+        ln = PLayerNorm(d_model, dtype=self.dtype, name="output_ln")
+        if self.activation == "gelu":
+            fused = _pf.maybe_fused_ffn(
+                x, d1.kernel, d1.bias, d2.kernel, d2.bias,
+                ln.scale, ln.bias, eps=ln.eps,
+                dropout_rate=self.hidden_dropout,
+                deterministic=deterministic, dtype=self.dtype)
+            if fused is not None:
+                return fused
+        h = ACT2FN[self.activation](d1(x))
+        h = d2(h)
         h = nn.Dropout(self.hidden_dropout)(h, deterministic=deterministic)
-        return layer_norm(dtype=self.dtype, name="output_ln")(h + x)
+        return ln(h + x)
 
 
 class TransformerLayer(nn.Module):

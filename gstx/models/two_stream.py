@@ -27,6 +27,8 @@ from flax import linen as nn
 from gstx.core.config import EncoderConfig
 from gstx.models.layers import (
     FeedForward,
+    PDense,
+    PLayerNorm,
     TransformerLayer,
     attend,
     dense,
@@ -117,17 +119,39 @@ class CoAttentionLayer(nn.Module):
 
         # BertBiOutput (vilbert_dialog.py:732-744): visual residual gets the
         # visual-query-over-text context; text residual gets the
-        # text-query-over-visual context.
-        v_ctx = dense(cfg.v_hidden_size, self.dtype, "v_dense")(ctx_for_visual)
-        v_ctx = nn.Dropout(cfg.v_hidden_dropout_prob)(
-            v_ctx, deterministic=deterministic)
-        t_ctx = dense(cfg.hidden_size, self.dtype, "t_dense")(ctx_for_text)
-        t_ctx = nn.Dropout(cfg.hidden_dropout_prob)(
-            t_ctx, deterministic=deterministic)
-        v_state = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
-                             name="v_ln")(v_ctx + v_input)
-        t_state = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
-                             name="t_ln")(t_ctx + t_input)
+        # text-query-over-visual context.  Projection + residual LayerNorm
+        # fuse into one pallas kernel on the TPU bf16 path.
+        from gstx.kernels import ffn as _pf
+
+        v_proj = PDense(cfg.v_hidden_size, cfg.bi_hidden_size, self.dtype,
+                        name="v_dense")
+        v_lnm = PLayerNorm(cfg.v_hidden_size, eps=cfg.layer_norm_eps,
+                           dtype=self.dtype, name="v_ln")
+        t_proj = PDense(cfg.hidden_size, cfg.bi_hidden_size, self.dtype,
+                        name="t_dense")
+        t_lnm = PLayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps,
+                           dtype=self.dtype, name="t_ln")
+
+        v_state = _pf.maybe_fused_dense_ln(
+            ctx_for_visual, v_proj.kernel, v_proj.bias, v_input,
+            v_lnm.scale, v_lnm.bias, eps=cfg.layer_norm_eps,
+            dropout_rate=cfg.v_hidden_dropout_prob,
+            deterministic=deterministic, dtype=self.dtype)
+        if v_state is None:
+            v_ctx = v_proj(ctx_for_visual)
+            v_ctx = nn.Dropout(cfg.v_hidden_dropout_prob)(
+                v_ctx, deterministic=deterministic)
+            v_state = v_lnm(v_ctx + v_input)
+        t_state = _pf.maybe_fused_dense_ln(
+            ctx_for_text, t_proj.kernel, t_proj.bias, t_input,
+            t_lnm.scale, t_lnm.bias, eps=cfg.layer_norm_eps,
+            dropout_rate=cfg.hidden_dropout_prob,
+            deterministic=deterministic, dtype=self.dtype)
+        if t_state is None:
+            t_ctx = t_proj(ctx_for_text)
+            t_ctx = nn.Dropout(cfg.hidden_dropout_prob)(
+                t_ctx, deterministic=deterministic)
+            t_state = t_lnm(t_ctx + t_input)
 
         v_state = FeedForward(
             intermediate_size=cfg.v_intermediate_size,
