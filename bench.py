@@ -41,6 +41,9 @@ def main():
     parser.add_argument("-pallas", type=int, default=1,
                         help="1 = fused pallas FFN/LN kernels (production "
                              "default), 0 = pure-XLA path")
+    parser.add_argument("-quant", type=int, default=1,
+                        help="1 = int8 cross-attention memory (production "
+                             "default), 0 = bf16 memory")
     args = parser.parse_args()
 
     import jax
@@ -111,7 +114,8 @@ def main():
                                   top_p=0.0, ngram_blocking_size=0),
         dtype=dtype,
         context_buckets=tuple(int(x) for x in
-                              args.context_buckets.split(",") if x))
+                              args.context_buckets.split(",") if x),
+        quantize_memory=bool(args.quant))
 
     def run(key):
         """NOTE: on this sandbox's tunnel platform block_until_ready returns

@@ -102,6 +102,7 @@ def make_dialog_engine(
     a_settings: DecodeSettings = DecodeSettings(ngram_blocking_size=0),
     dtype=jnp.float32,
     context_buckets: Tuple[int, ...] = (),
+    quantize_memory: bool = True,
 ):
     """Build the jittable dialog-generation function.
 
@@ -127,6 +128,13 @@ def make_dialog_engine(
             state.enc_input_ids, image["feat"], image["loc"],
             state.enc_segments, att, image["mask"],
             method=GSTVisualDialog.decode_prepare)
+        if quantize_memory and dtype == jnp.bfloat16:
+            # int8 cross-attention memory: the decode loop re-reads ~1 GB of
+            # static K/V per step at batch 96 — this halves its bandwidth
+            # floor.  bf16-path only; f32 engines (tests, CPU) stay exact.
+            from gstx.models.decoder import quantize_memory_kv
+
+            mem_kv = quantize_memory_kv(mem_kv, mem_mask, dtype)
 
         def step_fn(tok, pos, caches):
             return model.apply(
@@ -184,6 +192,32 @@ def make_dialog_engine(
     # context growth bound per round: Q (incl. EOS) + A tokens
     growth = q_settings.max_steps + a_settings.max_steps
 
+    def _precast_params(params):
+        """One-time f32->bf16 weight cast for the bf16 engine.
+
+        Every matmul on the bf16 path casts its f32 weights to bf16 at use;
+        inside the 36-per-round decode steps XLA does not fully hoist those
+        converts out of the while_loop (measured ~0.25 ms/step,
+        scripts/profile_decode.py).  Casting once per engine call is
+        numerically identical (same cast, done earlier).  LayerNorm affine
+        params and the LM bias stay f32 — they are consumed in f32.
+        """
+        def cast(path, leaf):
+            if leaf.dtype != jnp.float32:
+                return leaf
+            names = [str(getattr(k, "key", getattr(k, "name", k)))
+                     for k in path]
+            parent = names[-2] if len(names) >= 2 else ""
+            if names[-1] in ("scale", "lm_bias"):
+                return leaf
+            if names[-1] == "bias" and (parent == "ln"
+                                        or parent.endswith("_ln")):
+                return leaf
+            return leaf.astype(jnp.bfloat16)
+        return jax.tree_util.tree_map_with_path(cast, params)
+
+    jitted_precast = jax.jit(_precast_params)
+
     def _widen(state: DialogState, pad: int) -> DialogState:
         return state._replace(
             enc_input_ids=jnp.pad(state.enc_input_ids, ((0, 0), (0, pad))),
@@ -193,6 +227,10 @@ def make_dialog_engine(
     def engine(q_params, a_params, batch, rng,
                round_fn=None) -> DialogOutput:
         round_fn = round_fn or jitted_round
+        if dtype == jnp.bfloat16:
+            same = a_params is q_params
+            q_params = jitted_precast(q_params)
+            a_params = q_params if same else jitted_precast(a_params)
         image = {
             "feat": batch["enc_image_feat"],
             "loc": batch["enc_image_loc"],

@@ -139,6 +139,85 @@ def fused_attention(q, k, v, mask=None, interpret: bool = False):
     return out[:, :, :lq, :dh]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention_batch(q, k, v, mask=None, interpret: bool = False):
+    """softmax(q k^T / sqrt(dh) + mask) v, grid over BATCH only.
+
+    The round-1 kernel's (batch, head) grid ran 1152 tiny steps at batch 96
+    and re-loaded the mask every step; this variant processes all H heads
+    per grid step (static unrolled loop — Mosaic pipelines the per-head
+    QK^T / softmax / PV chains) and loads each row's mask once.  Scores and
+    probabilities stay in VMEM; f32 softmax (reference numerics).
+
+    q: [B, H, Lq, dh], k/v: [B, H, Lk, dh];
+    mask: additive, [B, 1, 1, Lk] or [B, 1, Lq, Lk] (or None).
+    Returns [B, H, Lq, dh] in q.dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    out_dtype = q.dtype
+
+    lq_p = _round_up(lq, 8)
+    lk_p = _round_up(lk, 128)
+    dh_p = _round_up(dh, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, dh_p - dh)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_p - lk), (0, dh_p - dh)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_p - lk), (0, dh_p - dh)))
+
+    if mask is None:
+        mask_full = jnp.zeros((b, 1, 1, lk), jnp.float32)
+    else:
+        mask_full = mask.astype(jnp.float32)
+    mb, mh, mq, mk = mask_full.shape
+    assert mb == b and mh == 1, "mask must be [B, 1, 1 or Lq, Lk]"
+    mask_full = jnp.pad(mask_full, ((0, 0), (0, 0), (0, 0), (0, lk_p - mk)),
+                        constant_values=-1e9)
+    if mq != 1:
+        mask_full = jnp.pad(mask_full, ((0, 0), (0, 0), (0, lq_p - mq),
+                                        (0, 0)))
+    scale = 1.0 / (dh ** 0.5)
+
+    def kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
+        m = m_ref[0, 0]                          # [1 or Lq_p, Lk_p] f32
+        for i in range(h):
+            qb = q_ref[0, i]                     # [Lq_p, dh_p] in q.dtype
+            kb = k_ref[0, i]
+            vb = v_ref[0, i]
+            scores = jax.lax.dot_general(
+                qb, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            scores = scores + m
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jax.lax.dot_general(
+                probs.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, i] = out.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, lq_p, dh_p), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, lk_p, dh_p), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, lk_p, dh_p), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mask_full.shape[2], lk_p),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, lq_p, dh_p), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, dh_p), out_dtype),
+        interpret=interpret,
+    )(qp, kp, vp, mask_full)
+    return out[:, :, :lq, :dh]
+
+
 def maybe_fused_attention(q, k, v, mask, *, dropout_rate: float,
                           deterministic: bool, dtype) -> Optional[jnp.ndarray]:
     """Return the pallas result when eligible, else None (caller falls back

@@ -39,6 +39,53 @@ from gstx.models.layers import (
 Cache = Dict[str, jnp.ndarray]
 
 
+def quantize_memory_kv(memory_kv, memory_add_mask, dtype=jnp.bfloat16):
+    """Symmetric per-(batch, head, channel) int8 quantization of the
+    precomputed cross-attention K/V.
+
+    The fused memory is STATIC for the whole utterance while the decode
+    loop re-reads all 12 layers' K/V every step (~1 GB/step at batch 96,
+    the decode bandwidth floor — PERF.md); int8 halves that traffic.
+    Padded memory positions are zeroed before taking the per-channel
+    abs-max (their attention weights are -10000-masked, so their values
+    are free), which also makes the scales independent of the context
+    bucket width.
+
+    Returns per-layer 4-tuples (k_int8, v_int8, k_scale, v_scale);
+    :func:`dequantize_kv` restores ``dtype`` values at the attention input
+    (fused into the dot's operand read by XLA).
+    """
+    valid = (memory_add_mask[:, 0, 0, :] > -5000.0)[:, None, :, None]
+
+    def q(t):
+        # written as two fusable single passes over t (abs+mask+max-reduce,
+        # then scale+round+cast): the earlier f32 `where` materialized 2x
+        # f32 copies of the 1 GB memory and cost 6.5 ms per utterance —
+        # more than the decode savings it was buying (measured, PERF.md)
+        a = jnp.where(valid, jnp.abs(t), 0).astype(jnp.float32)
+        scale = jnp.maximum(
+            jnp.max(a, axis=2, keepdims=True) / 127.0, 1e-8)
+        inv = 1.0 / scale
+        ti = jnp.round(t.astype(jnp.float32) * inv).astype(jnp.int8)
+        ti = jnp.where(valid, ti, 0)
+        return ti, scale.astype(dtype)
+
+    out = []
+    for (k, v) in memory_kv:
+        kq, ks = q(k)
+        vq, vs = q(v)
+        out.append((kq, vq, ks, vs))
+    return out
+
+
+def dequantize_kv(mem):
+    """(k, v) passthrough; (k_int8, v_int8, k_scale, v_scale) -> scaled."""
+    if len(mem) == 2:
+        return mem
+    kq, vq, ks, vs = mem
+    return kq.astype(ks.dtype) * ks, vq.astype(vs.dtype) * vs
+
+
 class DecoderLayer(nn.Module):
     """Self-attention (causal) + cross-attention + FFN, post-LN residuals —
     the HF BertLayer with crossattention (transformers
@@ -183,12 +230,26 @@ class GSTDecoderModel(nn.Module):
 
     def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """hidden @ lm_weight^T + bias (BertGenerationOnlyLMHead,
-        visual_dialog_decoder.py:326-339) in float32."""
+        visual_dialog_decoder.py:326-339); logits accumulate in float32.
+
+        On the f32 path the multiply itself is exact f32 (HIGHEST).  On the
+        bf16 path the multiply is the MXU's native bf16 (consistent with
+        every other matmul on that path; hidden is already bf16-accurate)
+        — this halves the [30522, 768] weight read and avoids the 3-pass
+        f32-emulation matmul in the per-token decode loop."""
         from gstx.models.layers import prec_for
 
-        return jnp.einsum("...d,vd->...v", hidden.astype(jnp.float32),
-                          self.lm_weight,
-                          precision=prec_for(jnp.float32)) + self.lm_bias
+        if self.dtype == jnp.bfloat16:
+            logits = jnp.einsum(
+                "...d,vd->...v", hidden.astype(jnp.bfloat16),
+                self.lm_weight.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        else:
+            logits = jnp.einsum(
+                "...d,vd->...v", hidden.astype(jnp.float32),
+                self.lm_weight.astype(jnp.float32),
+                precision=prec_for(jnp.float32))
+        return logits + self.lm_bias.astype(jnp.float32)
 
     def __call__(
         self,
@@ -217,14 +278,15 @@ class GSTDecoderModel(nn.Module):
         self,
         x: jnp.ndarray,
         attention_mask: Optional[jnp.ndarray],
-        memory_kv,                       # list of (k, v)
+        memory_kv,                       # list of (k, v) or quantized 4-tuples
         memory_mask: Optional[jnp.ndarray],
         deterministic: bool = True,
     ) -> jnp.ndarray:
         if attention_mask is None:
             attention_mask = jnp.ones(x.shape[:2], dtype=jnp.int32)
         self_mask = causal_additive_mask(attention_mask, dtype=self.dtype)
-        for layer, (mk, mv) in zip(self.layers, memory_kv):
+        for layer, mem in zip(self.layers, memory_kv):
+            mk, mv = dequantize_kv(mem)
             x = layer.forward_with_memory_kv(
                 x, self_mask, mk, mv, memory_mask, deterministic)
         return x
@@ -244,11 +306,12 @@ class GSTDecoderModel(nn.Module):
         x: jnp.ndarray,                  # [B, 1, D]
         pos: jnp.ndarray,                # scalar int32
         caches: List[Cache],
-        memory_kv,                       # list of (k, v)
+        memory_kv,                       # list of (k, v) or quantized 4-tuples
         memory_mask: Optional[jnp.ndarray],
     ) -> Tuple[jnp.ndarray, List[Cache]]:
         new_caches = []
-        for layer, cache, (mk, mv) in zip(self.layers, caches, memory_kv):
+        for layer, cache, mem in zip(self.layers, caches, memory_kv):
+            mk, mv = dequantize_kv(mem)
             x, cache = layer.step(x, pos, cache, mk, mv, memory_mask)
             new_caches.append(cache)
         return x, new_caches

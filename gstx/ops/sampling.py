@@ -41,13 +41,49 @@ def _kth_largest(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.max(x, axis=-1, keepdims=True)
 
 
+def _kth_largest_hier(logits: jnp.ndarray, k: int,
+                      block: int = 128) -> jnp.ndarray:
+    """Exact k-th largest (duplicate-aware) in ~2 full passes instead of k.
+
+    One pass builds per-128-lane-block maxima; each of the k-1
+    extract-and-mask rounds then gathers only the single block holding the
+    current global maximum, masks one occurrence there, and refreshes that
+    block's maximum.  Identical semantics to :func:`_kth_largest` (argmax
+    breaks ties at the lowest index, whether reached directly or through
+    the first block whose maximum ties).
+    """
+    batch_shape = logits.shape[:-1]
+    v = logits.shape[-1]
+    b = 1
+    for d in batch_shape:
+        b *= d
+    nb = -(-v // block)
+    x = logits.reshape(b, v)
+    if nb * block != v:
+        x = jnp.pad(x, ((0, 0), (0, nb * block - v)),
+                    constant_values=-jnp.inf)
+    x = x.reshape(b, nb, block)
+    bmax = jnp.max(x, axis=-1)                      # [B, nb] — full pass
+    rows = jnp.arange(b)
+    for _ in range(k - 1):
+        bi = jnp.argmax(bmax, axis=-1)              # [B]
+        blk = x[rows, bi]                           # [B, block]
+        pos = jnp.argmax(blk, axis=-1)
+        blk = blk.at[rows, pos].set(-jnp.inf)
+        x = x.at[rows, bi].set(blk)
+        bmax = bmax.at[rows, bi].set(jnp.max(blk, axis=-1))
+    return jnp.max(bmax, axis=-1, keepdims=True).reshape(*batch_shape, 1)
+
+
 def top_k_filter(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
     """Keep only the k highest logits per row (ties at the k-th value kept,
     matching the reference's ``logits < kth -> -inf``)."""
     if top_k <= 0:
         return logits
     k = min(top_k, logits.shape[-1])
-    if k <= 16:
+    if k <= 16 and logits.shape[-1] >= 2048:
+        kth = _kth_largest_hier(logits, k)
+    elif k <= 16:
         kth = _kth_largest(logits, k)
     else:
         kth = jax.lax.top_k(logits, k)[0][..., -1, None]

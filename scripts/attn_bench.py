@@ -22,7 +22,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from gstx.models.layers import attend, additive_mask  # noqa: E402
-from gstx.kernels.attention import fused_attention  # noqa: E402
+from gstx.kernels.attention import fused_attention, fused_attention_batch  # noqa: E402
 from jax.experimental.pallas.ops.tpu import flash_attention as fa  # noqa: E402
 
 B, H, DH = 96, 12, 64
@@ -75,6 +75,8 @@ def main():
             "jnp attend": lambda q, k, v: attend(
                 q, k, v, amask, dtype=jnp.bfloat16),
             "pallas whole-block": lambda q, k, v: fused_attention(
+                q, k, v, amask),
+            "pallas batch-grid": lambda q, k, v: fused_attention_batch(
                 q, k, v, amask),
             "flash (segids)": lambda q, k, v: fa.flash_attention(
                 q, k, v, segment_ids=seg_ids, sm_scale=1.0 / DH ** 0.5,

@@ -117,3 +117,23 @@ def test_kth_largest_matches_lax_top_k():
         want_kth = jax.lax.top_k(x3, k)[0][..., -1, None]
         np.testing.assert_array_equal(np.asarray(_kth_largest(x3, k)),
                                       np.asarray(want_kth))
+
+
+def test_kth_largest_hier_matches_iterative():
+    """The hierarchical kth-largest (1 full pass + per-block rounds) must be
+    bit-identical to the iterative argmax version and lax.top_k, including
+    duplicate values split across blocks and non-multiple-of-128 vocabs."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from gstx.ops.sampling import _kth_largest, _kth_largest_hier
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(5, 3001), jnp.float32)
+    x = x.at[:, 200:207].set(x[:, :7])  # duplicates in another block
+    for k in (1, 2, 7, 16):
+        a = np.asarray(_kth_largest(x, k))
+        b = np.asarray(_kth_largest_hier(x, k))
+        c = np.asarray(jax.lax.top_k(x, k)[0][..., -1, None])
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(b, c)
