@@ -41,9 +41,10 @@ def main():
     parser.add_argument("-pallas", type=int, default=1,
                         help="1 = fused pallas FFN/LN kernels (production "
                              "default), 0 = pure-XLA path")
-    parser.add_argument("-quant", type=int, default=1,
-                        help="1 = int8 cross-attention memory (production "
-                             "default), 0 = bf16 memory")
+    parser.add_argument("-quant", type=int, default=0,
+                        help="1 = int8 cross-attention memory (slower in "
+                             "the full engine - see PERF.md), 0 = bf16 "
+                             "memory (production default)")
     args = parser.parse_args()
 
     import jax

@@ -102,7 +102,7 @@ def make_dialog_engine(
     a_settings: DecodeSettings = DecodeSettings(ngram_blocking_size=0),
     dtype=jnp.float32,
     context_buckets: Tuple[int, ...] = (),
-    quantize_memory: bool = True,
+    quantize_memory: bool = False,
 ):
     """Build the jittable dialog-generation function.
 
@@ -129,9 +129,12 @@ def make_dialog_engine(
             state.enc_segments, att, image["mask"],
             method=GSTVisualDialog.decode_prepare)
         if quantize_memory and dtype == jnp.bfloat16:
-            # int8 cross-attention memory: the decode loop re-reads ~1 GB of
-            # static K/V per step at batch 96 — this halves its bandwidth
-            # floor.  bf16-path only; f32 engines (tests, CPU) stay exact.
+            # int8 cross-attention memory (OFF by default): halves the
+            # decode loop's ~1 GB/step static K/V reads and wins +24% on an
+            # isolated scan-driven decode, but measured -5% inside the full
+            # engine round program (A/B in PERF.md) — the while_loop decode
+            # apparently loses the dequant-into-dot fusion there.  Kept as
+            # an option; bf16-path only, f32 engines (tests, CPU) exact.
             from gstx.models.decoder import quantize_memory_kv
 
             mem_kv = quantize_memory_kv(mem_kv, mem_mask, dtype)
