@@ -41,11 +41,25 @@ def init_distributed(coordinator_address: Optional[str] = None,
             process_id=process_id)
     except ValueError:
         # single-process environment: coordinator auto-detection failed
-        pass
+        return
     except RuntimeError as e:
         if "already" in str(e).lower():
             return
         raise  # backends already initialized: a real ordering bug
+
+    if jax.process_count() > 1:
+        # Establish the cross-process collective context NOW, while every
+        # process is aligned at initialization.  The runtime's FIRST
+        # collective execution creates the context under a hard ~30 s
+        # deadline (Gloo: "GetKeyValue() timed out"); if hosts reach their
+        # first real collective at different times — e.g. the train-step
+        # compile is cache-warm on one host and cold on another — that
+        # deadline trips.  A trivial barrier here compiles in milliseconds
+        # on every host, so the skew cannot exceed the deadline, and all
+        # later collectives reuse the context.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("gstx:init_distributed")
 
 
 def process_shard(n_items: int, process_index: Optional[int] = None,

@@ -80,12 +80,19 @@ def _free_port():
 def test_two_process_distributed_train_step(tmp_path):
     coord = f"localhost:{_free_port()}"
     script = tmp_path / "child.py"
+    # fresh per-run compile cache: the shared repo cache can hold AOT
+    # artifacts compiled on a different machine type; scanning/rejecting
+    # them skews one process >30s past the other, tripping the Gloo
+    # context-init rendezvous deadline (observed)
     script.write_text(CHILD.format(
         repo=REPO_ROOT, tests=TESTS_DIR, coord=coord,
-        cache=os.path.join(REPO_ROOT, ".jax_cache")))
+        cache=str(tmp_path / "jax_cache")))
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    # multi-NIC sandboxes: let Gloo rendezvous over loopback, not whatever
+    # interface the hostname resolves to
+    env.setdefault("GLOO_SOCKET_IFNAME", "lo")
     procs = [subprocess.Popen([sys.executable, str(script), str(i)],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True, env=env)
