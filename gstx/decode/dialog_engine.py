@@ -201,9 +201,12 @@ def make_dialog_engine(
         Every matmul on the bf16 path casts its f32 weights to bf16 at use;
         inside the 36-per-round decode steps XLA does not fully hoist those
         converts out of the while_loop (measured ~0.25 ms/step,
-        scripts/profile_decode.py).  Casting once per engine call is
-        numerically identical (same cast, done earlier).  LayerNorm affine
-        params and the LM bias stay f32 — they are consumed in f32.
+        scripts/profile_decode.py).  For matmul weights the early cast is
+        numerically identical (same rounding, done once); the embedding
+        tables differ at the last ulp (word+position+segment now sum in
+        bf16 instead of summing in f32 then rounding) — the same magnitude
+        of rounding the bf16 path applies everywhere else.  LayerNorm
+        affine params and the LM bias stay f32 — they are consumed in f32.
         """
         def cast(path, leaf):
             if leaf.dtype != jnp.float32:

@@ -142,10 +142,22 @@ def load_mlm_attacker(path: str, config: Optional[EncoderConfig] = None):
         inner = params["params"] if "params" in params else params
         word = np.asarray(inner["embeddings"]["word_embeddings"]["embedding"])
         n_layers = len([k for k in inner if k.startswith("layer_")])
-        cfg = config or mlm_config(
-            vocab_size=word.shape[0], hidden_size=word.shape[1],
-            num_hidden_layers=n_layers)
-        return BertMLM(cfg), {"params": inner}
+        if config is None:
+            # infer every shape-determined field from the restored tree
+            # (mirrors the torch branch below); num_attention_heads is not
+            # recoverable from the fused-QKV shapes, so use the bert-base
+            # dh=64 convention the reference attacker follows
+            inter = np.asarray(
+                inner["layer_0"]["ffn"]["intermediate"]["kernel"]).shape[1]
+            max_pos = np.asarray(
+                inner["embeddings"]["position_embeddings"]["embedding"]
+            ).shape[0]
+            config = mlm_config(
+                vocab_size=word.shape[0], hidden_size=word.shape[1],
+                num_hidden_layers=n_layers,
+                num_attention_heads=max(1, word.shape[1] // 64),
+                intermediate_size=inter, max_position_embeddings=max_pos)
+        return BertMLM(config), {"params": inner}
     sd = ckpt_lib.load_torch_checkpoint(path)
     word = sd["bert.embeddings.word_embeddings.weight"]
     n_layers = len({k.split(".")[3] for k in sd

@@ -88,6 +88,8 @@ def extract_clip_features(image_paths, device=None, batch_size: int = 64,
             imgs = [preprocess(Image.open(p))
                     for p in paths[start:start + batch_size]]
             batch = torch.stack(imgs, dim=0).type(dtype)
+            if device:
+                batch = batch.to(device)
             feats.append(visual(batch).float().cpu().numpy())
     return np.concatenate(feats, axis=0)
 

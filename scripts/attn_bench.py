@@ -24,39 +24,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from gstx.models.layers import attend, additive_mask  # noqa: E402
 from gstx.kernels.attention import fused_attention, fused_attention_batch  # noqa: E402
 from jax.experimental.pallas.ops.tpu import flash_attention as fa  # noqa: E402
+from _bench_util import chain, null_dispatch, timed  # noqa: E402
 
 B, H, DH = 96, 12, 64
 N = 50  # amortized iterations inside one jit
 
 
-def timed(fn, *args):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    ts = []
-    for _ in range(5):
-        t0 = time.time()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        ts.append(time.time() - t0)
-    return min(ts)
-
-
-def chain(op):
-    """Run op N times with a data dep on the previous output."""
-    def run(q, k, v):
-        def body(carry, _):
-            qq = q + carry * 1e-6
-            o = op(qq, k, v)
-            return o.astype(q.dtype), ()
-        out, _ = jax.lax.scan(body, jnp.zeros_like(q), None, length=N)
-        return out
-    return jax.jit(run)
-
-
 def main():
     print(f"devices={jax.devices()}")
-    null = jax.jit(lambda x: x + 1)
-    tn = timed(null, jnp.zeros((8, 8)))
+    tn = null_dispatch()
     print(f"null dispatch {tn*1e3:.1f} ms")
 
     rng = np.random.RandomState(0)
@@ -86,7 +62,7 @@ def main():
         }
         for name, op in variants.items():
             try:
-                f = chain(op)
+                f = chain(op, N)
                 t = (timed(f, q, k, v) - tn) / N
                 flops = 4 * B * H * S * S * DH
                 print(f"S={S} {name:20s} {t*1e6:8.0f} us  "

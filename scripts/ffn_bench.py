@@ -17,31 +17,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from gstx.kernels.ffn import fused_ffn, fused_dense_ln  # noqa: E402
+from _bench_util import chain, null_dispatch, timed  # noqa: E402
 
 B, S, D, F = 96, 256, 768, 3072
 N = 50
-
-
-def timed(fn, *args):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    ts = []
-    for _ in range(5):
-        t0 = time.time()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        ts.append(time.time() - t0)
-    return min(ts)
-
-
-def chain(op):
-    def run(x, *rest):
-        def body(carry, _):
-            o = op(x + carry * 1e-6, *rest)
-            return o.astype(x.dtype), ()
-        out, _ = jax.lax.scan(body, jnp.zeros_like(x), None, length=N)
-        return out
-    return jax.jit(run)
 
 
 def ln(y, g, b):
@@ -52,8 +31,7 @@ def ln(y, g, b):
 
 def main():
     print(f"devices={jax.devices()}")
-    null = jax.jit(lambda x: x + 1)
-    tn = timed(null, jnp.zeros((8, 8)))
+    tn = null_dispatch()
     print(f"null dispatch {tn*1e3:.1f} ms")
 
     rng = np.random.RandomState(0)
@@ -83,7 +61,7 @@ def main():
             x, w1, b1, w2, b2, g, be, block_m=512),
     }.items():
         try:
-            t = (timed(chain(op), x) - tn) / N
+            t = (timed(chain(op, N), x) - tn) / N
             print(f"{name:22s} {t*1e6:8.0f} us  {flops/t/1e12:6.1f} TF/s")
         except Exception as e:
             print(f"{name:22s} FAILED: {type(e).__name__}: {e}")
@@ -102,7 +80,7 @@ def main():
         "pallas dense+ln": lambda x, r: fused_dense_ln(x, w, b, r, g, be),
     }.items():
         try:
-            t = (timed(chain(op), x, r) - tn) / N
+            t = (timed(chain(op, N), x, r) - tn) / N
             print(f"{name:22s} {t*1e6:8.0f} us  {flops/t/1e12:6.1f} TF/s")
         except Exception as e:
             print(f"{name:22s} FAILED: {type(e).__name__}: {e}")

@@ -32,38 +32,8 @@ def devices():
 def tiny_configs():
     """Small model configs for fast CPU tests; same topology as production
     (12/6/6 layers shrunk to 2/2/2, hidden sizes shrunk but head structure
-    intact)."""
-    from gstx.core.config import DecoderConfig, EncoderConfig
+    intact).  Single source of truth: fixtures.tiny_enc_dec_configs (also
+    imported by subprocess driver scripts)."""
+    from fixtures import tiny_enc_dec_configs
 
-    enc = EncoderConfig(
-        vocab_size=128,
-        hidden_size=32,
-        num_hidden_layers=4,
-        num_attention_heads=4,
-        intermediate_size=64,
-        v_feature_size=16,
-        v_target_size=11,
-        v_hidden_size=24,
-        v_num_hidden_layers=2,
-        v_num_attention_heads=4,
-        v_intermediate_size=24,
-        bi_hidden_size=24,
-        bi_num_attention_heads=4,
-        bi_intermediate_size=24,
-        v_biattention_id=(0, 1),
-        t_biattention_id=(2, 3),
-        hidden_dropout_prob=0.0,
-        v_hidden_dropout_prob=0.0,
-        attention_probs_dropout_prob=0.0,
-        v_attention_probs_dropout_prob=0.0,
-    )
-    dec = DecoderConfig(
-        vocab_size=128,
-        hidden_size=32,
-        num_hidden_layers=2,
-        num_attention_heads=4,
-        intermediate_size=64,
-        hidden_dropout_prob=0.0,
-        attention_probs_dropout_prob=0.0,
-    )
-    return enc, dec
+    return tiny_enc_dec_configs()

@@ -142,8 +142,9 @@ def test_extract_clip_features_batched(tmp_path):
     the reference loop clip_in_domain_filtering.py:126-151."""
     import types
 
-    import torch
-    from PIL import Image
+    torch = pytest.importorskip("torch")
+    PIL_Image = pytest.importorskip("PIL.Image")
+    Image = PIL_Image
 
     from gstx.preprocessing.clip_filtering import extract_clip_features
 

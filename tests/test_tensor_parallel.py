@@ -36,46 +36,14 @@ from gstx.train.train_gen import make_train_step
 
 @pytest.fixture(scope="module")
 def tp_setup(tiny_configs):
+    from fixtures import init_tiny_params, make_train_rows_batch
+
     enc_cfg, dec_cfg = tiny_configs
-    b, rounds, samples = 4, 3, 1
-    seq_len, regions, utt_len = 24, 7, 10
-    rng = np.random.RandomState(0)
-    batch = {
-        "enc_input_ids": rng.randint(
-            1, enc_cfg.vocab_size,
-            size=(b, rounds, samples, seq_len)).astype(np.int32),
-        "enc_segments": np.zeros((b, rounds, samples, seq_len), np.int32),
-        "enc_sep_indices": np.zeros((b, rounds, samples, 8), np.int32),
-        "enc_mlm_labels": np.full((b, rounds, samples, seq_len), -1,
-                                  np.int32),
-        "enc_att_mask": np.ones((b, rounds, samples, seq_len), np.float32),
-        "dec_input_ids": rng.randint(
-            1, enc_cfg.vocab_size,
-            size=(b, rounds, samples, utt_len)).astype(np.int32),
-        "dec_att_mask": np.ones((b, rounds, samples, utt_len), np.float32),
-        "dec_labels": rng.randint(
-            0, enc_cfg.vocab_size,
-            size=(b, rounds, samples, utt_len)).astype(np.int32),
-        "enc_image_feat": rng.rand(
-            b, regions, enc_cfg.v_feature_size).astype(np.float32),
-        "enc_image_loc": rng.rand(b, regions, 5).astype(np.float32),
-        "enc_image_mask": np.ones((b, regions), np.float32),
-    }
-    init_batch = dict(
-        input_ids=jnp.ones((2, seq_len), jnp.int32),
-        image_feat=jnp.ones((2, regions, enc_cfg.v_feature_size)),
-        image_loc=jnp.ones((2, regions, 5)),
-        token_type_ids=jnp.zeros((2, seq_len), jnp.int32),
-        attention_mask=jnp.ones((2, seq_len), jnp.int32),
-        image_attention_mask=jnp.ones((2, regions), jnp.int32),
-        dec_input_ids=jnp.ones((2, utt_len), jnp.int32),
-        dec_attention_mask=jnp.ones((2, utt_len), jnp.int32))
-    model0 = GSTVisualDialog(enc_cfg, dec_cfg)
-    params = model0.init(jax.random.PRNGKey(0), **init_batch,
-                         method=GSTVisualDialog.init_all)
+    batch = make_train_rows_batch(enc_cfg, b=4)
     # host copies: the train step DONATES its params/opt_state buffers, so
     # each run must device_put from an undeletable host tree
-    return enc_cfg, dec_cfg, jax.device_get(params), batch
+    params = jax.device_get(init_tiny_params(enc_cfg, dec_cfg))
+    return enc_cfg, dec_cfg, params, batch
 
 
 def _run_one_step(enc_cfg, dec_cfg, params, batch, data_par, model_par):
