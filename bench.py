@@ -41,6 +41,14 @@ def main():
     parser.add_argument("-pallas", type=int, default=1,
                         help="1 = fused pallas FFN/LN kernels (production "
                              "default), 0 = pure-XLA path")
+    parser.add_argument("-short_answers", type=int, default=0,
+                        help="1 = bias the LM head toward EOS so utterances "
+                             "are 3-7 tokens (the real-checkpoint regime; "
+                             "exercises early-EOS exit + dynamic buckets)")
+    parser.add_argument("-dynamic_buckets", type=int, default=0,
+                        help="1 = pick context buckets from actual lengths "
+                             "per round (one host sync each) instead of the "
+                             "static worst-case schedule")
     parser.add_argument("-quant", type=int, default=0,
                         help="1 = int8 cross-attention memory (slower in "
                              "the full engine - see PERF.md), 0 = bf16 "
@@ -87,6 +95,12 @@ def main():
     q_params = model.init(jax.random.PRNGKey(0), **init_batch,
                           method=GSTVisualDialog.init_all)
     a_params = q_params  # same weights; throughput identical, half the HBM
+    if args.short_answers:
+        # push SEP's logit up so sampled utterances terminate in a few
+        # steps, emulating trained-checkpoint behavior (answers 3-7 tokens)
+        bias = q_params["params"]["decoder"]["lm_bias"]
+        q_params["params"]["decoder"]["lm_bias"] = bias.at[SEP_ID].add(9.0)
+        a_params = q_params
     print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
 
     # caption-only contexts (dataloader_cc12m_gen.py:82-92 layout)
@@ -116,7 +130,8 @@ def main():
         dtype=dtype,
         context_buckets=tuple(int(x) for x in
                               args.context_buckets.split(",") if x),
-        quantize_memory=bool(args.quant))
+        quantize_memory=bool(args.quant),
+        dynamic_buckets=bool(args.dynamic_buckets))
 
     def run(key):
         """NOTE: on this sandbox's tunnel platform block_until_ready returns

@@ -74,7 +74,8 @@ def main(argv=None, max_batches=None):
             max_steps=config.max_dec_len, temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p, ngram_blocking_size=0),
         dtype=jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32,
-        context_buckets=config.context_bucket_tuple())
+        context_buckets=config.context_bucket_tuple(),
+        dynamic_buckets=config.dynamic_buckets)
 
     loader = DataLoader(dataset, batch_size=config.batch_size, shuffle=False,
                         drop_last=False, num_workers=config.num_workers,

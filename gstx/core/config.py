@@ -226,6 +226,9 @@ class GSTConfig:
     ngram_blocking_size: int = 4
     num_dialog_rounds: int = 10
     max_regions: int = 37
+    dynamic_buckets: bool = False  # pick context buckets from ACTUAL batch
+    # lengths each round (one host sync/round; wins when utterances are
+    # short, i.e. trained checkpoints) instead of the worst-case schedule
     context_buckets: str = ""  # e.g. "128,192": smaller context widths for
     # early dialog rounds (exact math, lower encoder cost)
 

@@ -103,6 +103,7 @@ def make_dialog_engine(
     dtype=jnp.float32,
     context_buckets: Tuple[int, ...] = (),
     quantize_memory: bool = False,
+    dynamic_buckets: bool = False,
 ):
     """Build the jittable dialog-generation function.
 
@@ -116,8 +117,18 @@ def make_dialog_engine(
     fits a bucket run a round program compiled at that width — identical
     math (fully-masked tail positions contribute exactly 0 after softmax
     underflow) at a fraction of the encoder cost.  Each bucket adds one
-    compiled round variant; the actual bucket is chosen per round from the
-    batch's real maximum context length (one scalar device->host sync).
+    compiled round variant.
+
+    ``dynamic_buckets``: pick each round's bucket from the batch's ACTUAL
+    maximum context length (one scalar device->host sync per round, which
+    serializes rounds within a batch — cli/generate's cross-batch double
+    buffering hides the stall) instead of the default static worst-case
+    schedule (+max_steps x 2 per round, synced once up front).  On real
+    checkpoints answers are 3-7 tokens, so contexts grow far slower than
+    the worst case and most rounds stay in the smallest bucket; on
+    worst-case data (every utterance runs the full 18 steps) the two
+    schedules coincide.  Outputs are identical either way (bucket width
+    never changes the math, only the compile shape).
     """
 
     def decode_utterance(params, state, image, rng, settings, ngram_source):
@@ -270,7 +281,11 @@ def make_dialog_engine(
         for rnd_idx in range(num_rounds):
             if len(buckets) > 1:
                 cur_w = state.enc_input_ids.shape[1]
-                worst = init_max + (rnd_idx + 1) * growth
+                if dynamic_buckets:
+                    # host sync on the previous round's actual lengths
+                    worst = min(int(jnp.max(state.enc_len)) + growth, full_s)
+                else:
+                    worst = init_max + (rnd_idx + 1) * growth
                 target = next((b for b in buckets if b >= worst), full_s)
                 target = max(target, cur_w)
                 if target > cur_w:

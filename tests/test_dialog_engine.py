@@ -181,3 +181,79 @@ def test_context_buckets_equal_full_width(tmp_path, tiny_configs):
                                   np.asarray(out_buck.abnormal))
     assert out_buck.final_state.enc_input_ids.shape == \
         out_full.final_state.enc_input_ids.shape
+
+
+def test_dynamic_buckets_identical_and_narrower(tmp_path, tiny_configs):
+    """dynamic_buckets=True must produce the identical dialog as the
+    full-width engine, while actually choosing narrower round widths than
+    the static worst-case schedule when utterances are short."""
+    import dataclasses
+
+    cfg = make_visdial_env(str(tmp_path))
+    tok = make_tokenizer()
+    enc_cfg, dec_cfg = tiny_configs
+    enc_cfg = dataclasses.replace(enc_cfg, vocab_size=256)
+    dec_cfg = dataclasses.replace(dec_cfg, vocab_size=256)
+    model = GSTVisualDialog(enc_cfg, dec_cfg)
+
+    ds = VisdialGenDataset(cfg, tok, mode="vd_gen_val")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = {k: jnp.asarray(v) for k, v in next(dl.epoch(0)).items()
+             if k != "image_id"}
+
+    b, l, r = 2, cfg.max_seq_len, cfg.max_regions
+    init_batch = dict(
+        input_ids=jnp.ones((b, l), jnp.int32),
+        image_feat=jnp.ones((b, r, enc_cfg.v_feature_size)),
+        image_loc=jnp.ones((b, r, 5)),
+        token_type_ids=jnp.zeros((b, l), jnp.int32),
+        attention_mask=jnp.ones((b, l), jnp.int32),
+        image_attention_mask=jnp.ones((b, r), jnp.int32),
+        dec_input_ids=jnp.ones((b, 4), jnp.int32),
+        dec_attention_mask=jnp.ones((b, 4), jnp.int32))
+    q_params = model.init(jax.random.PRNGKey(0), **init_batch,
+                          method=GSTVisualDialog.init_all)
+    # bias the LM head hard toward EOS => 1-2 token utterances, the
+    # regime where the dynamic schedule stays in the smallest bucket
+    q_params["params"]["decoder"]["lm_bias"] = (
+        q_params["params"]["decoder"]["lm_bias"].at[SEP_ID].add(50.0))
+    a_params = q_params
+
+    greedy_q = DecodeSettings(max_steps=5, top_k=1, ngram_blocking_size=4)
+    greedy_a = DecodeSettings(max_steps=5, top_k=1, ngram_blocking_size=0)
+    n_rounds = 6
+    full = make_dialog_engine(model, dec_cfg, num_rounds=n_rounds,
+                              q_settings=greedy_q, a_settings=greedy_a)
+    dyn = make_dialog_engine(model, dec_cfg, num_rounds=n_rounds,
+                             q_settings=greedy_q, a_settings=greedy_a,
+                             context_buckets=(48, 72),
+                             dynamic_buckets=True)
+    static = make_dialog_engine(model, dec_cfg, num_rounds=n_rounds,
+                                q_settings=greedy_q, a_settings=greedy_a,
+                                context_buckets=(48, 72))
+
+    dyn_widths, static_widths = [], []
+
+    def rec(acc, one_round):
+        def f(*args):
+            acc.append(args[2].enc_input_ids.shape[1])
+            return one_round(*args)
+        return f
+
+    rng = jax.random.PRNGKey(11)
+    out_full = full(q_params, a_params, batch, rng)
+    out_dyn = dyn(q_params, a_params, batch, rng,
+                  round_fn=rec(dyn_widths, dyn.one_round))
+    static(q_params, a_params, batch, rng,
+           round_fn=rec(static_widths, static.one_round))
+    np.testing.assert_array_equal(np.asarray(out_full.questions),
+                                  np.asarray(out_dyn.questions))
+    np.testing.assert_array_equal(np.asarray(out_full.answers),
+                                  np.asarray(out_dyn.answers))
+    np.testing.assert_allclose(np.asarray(out_full.answer_ppl),
+                               np.asarray(out_dyn.answer_ppl), rtol=1e-4)
+    # 1-2 token utterances: every dynamic round fits the smallest bucket,
+    # while the static worst-case schedule (+10/round) must widen
+    assert dyn_widths == [48] * n_rounds, dyn_widths
+    assert static_widths[-1] > 48, static_widths
+    assert max(dyn_widths) < max(static_widths)
