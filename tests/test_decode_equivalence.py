@@ -119,3 +119,54 @@ def test_greedy_equivalence_without_ngram(setup):
                        ngram_blocking_size=0),
         bos_id=CLS_ID, eos_id=SEP_ID))
     np.testing.assert_array_equal(got, want)
+
+
+def test_early_eos_exit_matches_fixed_length_loop():
+    """The while_loop early-EOS exit (PERF round 2) must be output-identical
+    to the fixed max_steps loop: executed steps consume the same rng splits
+    and post-EOS tokens are discarded by pad_after_eos either way.
+
+    Uses a model-free step_fn whose rows emit EOS at staggered steps, so
+    the early exit actually triggers (after the slowest row finishes)."""
+    import jax
+    from gstx.core.config import CLS_ID, PAD_ID, SEP_ID
+    from gstx.decode.sampler import DecodeSettings, sample_sequence
+    from gstx.ops.sampling import (pad_after_eos, sample_token,
+                                   top_k_top_p_filter)
+
+    batch, vocab, max_steps = 5, 128, 12
+    settings = DecodeSettings(max_steps=max_steps, temperature=0.9, top_k=3,
+                              top_p=0.0, ngram_blocking_size=0)
+
+    def step_fn(tok, pos, caches):
+        # row i prefers EOS from step i+1 on; before that a pos-dependent
+        # token band -- stochastic (top_k 3) so rng alignment is exercised
+        base = jnp.zeros((batch, vocab))
+        band = (10 + pos * 3) % 80  # stays clear of SEP_ID=102
+        cols = jnp.arange(vocab)[None, :]
+        base = jnp.where((cols >= band) & (cols < band + 3), 4.0, base)
+        rows = jnp.arange(batch)
+        eos_bias = jnp.where(pos >= rows + 1, 50.0, -50.0)
+        base = base.at[:, SEP_ID].set(eos_bias)
+        return base, caches
+
+    rng = jax.random.PRNGKey(123)
+    got = sample_sequence(step_fn, rng, batch, caches=0, settings=settings,
+                          bos_id=CLS_ID, eos_id=SEP_ID)
+
+    # fixed-length reference: the same sampling pipeline, no early exit
+    tokens = jnp.zeros((batch, max_steps + 1), jnp.int32).at[:, 0].set(CLS_ID)
+    r = rng
+    for step in range(max_steps):
+        logits, _ = step_fn(tokens[:, step:step + 1], step, 0)
+        logits = logits / settings.temperature
+        logits = top_k_top_p_filter(logits, settings.top_k, settings.top_p)
+        r, sub = jax.random.split(r)
+        nxt = sample_token(sub, logits).astype(jnp.int32)
+        tokens = tokens.at[:, step + 1].set(nxt)
+    want = pad_after_eos(tokens[:, 1:], SEP_ID, PAD_ID)
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # sanity: staggered EOS really happened (row i ends after ~i+1 tokens)
+    lens = (np.asarray(got) != PAD_ID).sum(-1)
+    assert lens[0] < lens[-1] <= max_steps
