@@ -98,8 +98,11 @@ def main():
     if args.short_answers:
         # push SEP's logit up so sampled utterances terminate in a few
         # steps, emulating trained-checkpoint behavior (answers 3-7 tokens)
-        bias = q_params["params"]["decoder"]["lm_bias"]
-        q_params["params"]["decoder"]["lm_bias"] = bias.at[SEP_ID].add(9.0)
+        import flax.core
+
+        q_params = flax.core.copy(q_params, {"params": {"decoder": {
+            "lm_bias": q_params["params"]["decoder"]["lm_bias"]
+            .at[SEP_ID].add(9.0)}}})
         a_params = q_params
     print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
 

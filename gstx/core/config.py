@@ -226,6 +226,9 @@ class GSTConfig:
     ngram_blocking_size: int = 4
     num_dialog_rounds: int = 10
     max_regions: int = 37
+    quantize_memory: bool = False  # int8 cross-attention decode memory
+    # (bf16 engines only; +24% isolated decode, measured -5% in-engine on
+    # the XLA round program — see PERF.md opt 7 / the pallas decode kernel)
     dynamic_buckets: bool = False  # pick context buckets from ACTUAL batch
     # lengths each round (one host sync/round; wins when utterances are
     # short, i.e. trained checkpoints) instead of the worst-case schedule
@@ -269,21 +272,33 @@ class GSTConfig:
 
 def add_config_args(parser, cls=GSTConfig):
     """Expose every GSTConfig field as a '-flag' (single-dash, like the
-    reference options.py) on an argparse parser."""
+    reference options.py) on an argparse parser.
+
+    Boolean fields get a PAIR of switches: ``-X`` (sets True, the reference
+    options.py:27-70 surface) and ``-no_X`` (sets False) — so default-True
+    fields like ``remat``/``use_pallas`` are controllable from every CLI.
+    ``-continue`` is an explicit alias for ``-continue_training``
+    (reference options.py:70), not an argparse prefix accident.
+    """
     for f in dataclasses.fields(cls):
         name = "-" + f.name
-        if f.type in ("bool", bool):
-            parser.add_argument(name, action="store_true", default=f.default)
+        is_bool = f.type in ("bool", bool) or isinstance(f.default, bool)
+        if is_bool:
+            parser.add_argument(name, dest=f.name, action="store_true")
+            parser.add_argument("-no_" + f.name, dest=f.name,
+                                action="store_false")
+            parser.set_defaults(**{f.name: f.default})
         else:
             ftype = {"int": int, "float": float, "str": str}.get(str(f.type), str)
-            if isinstance(f.default, bool):
-                parser.add_argument(name, action="store_true", default=f.default)
-            elif isinstance(f.default, int):
+            if isinstance(f.default, int):
                 parser.add_argument(name, type=int, default=f.default)
             elif isinstance(f.default, float):
                 parser.add_argument(name, type=float, default=f.default)
             else:
                 parser.add_argument(name, type=ftype, default=f.default)
+    if any(f.name == "continue_training" for f in dataclasses.fields(cls)):
+        parser.add_argument("-continue", dest="continue_training",
+                            action="store_true")
     return parser
 
 

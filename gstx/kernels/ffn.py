@@ -295,7 +295,7 @@ def maybe_fused_ffn(x, w1, b1, w2, b2, gamma, beta, *, eps: float,
     if dtype != jnp.bfloat16:
         return None
     d, f = w1.shape
-    if (d * f + f * d) * 2 > _WEIGHT_BYTES_LIMIT:
+    if (d * f + f * d) * jnp.dtype(dtype).itemsize > _WEIGHT_BYTES_LIMIT:
         return None
     if d % 128 != 0 or f % 128 != 0:
         return None

@@ -147,6 +147,11 @@ def load_mlm_attacker(path: str, config: Optional[EncoderConfig] = None):
             # (mirrors the torch branch below); num_attention_heads is not
             # recoverable from the fused-QKV shapes, so use the bert-base
             # dh=64 convention the reference attacker follows
+            if word.shape[1] % 64 != 0:
+                raise ValueError(
+                    f"cannot infer num_attention_heads: hidden_size "
+                    f"{word.shape[1]} is not a multiple of head_dim 64 — "
+                    "pass an explicit config to load_mlm_attacker")
             inter = np.asarray(
                 inner["layer_0"]["ffn"]["intermediate"]["kernel"]).shape[1]
             max_pos = np.asarray(
@@ -163,6 +168,11 @@ def load_mlm_attacker(path: str, config: Optional[EncoderConfig] = None):
     n_layers = len({k.split(".")[3] for k in sd
                     if k.startswith("bert.encoder.layer.")})
     if config is None:
+        if word.shape[1] % 64 != 0:
+            raise ValueError(
+                f"cannot infer num_attention_heads: hidden_size "
+                f"{word.shape[1]} is not a multiple of head_dim 64 — "
+                "pass an explicit config to load_mlm_attacker")
         inter = sd["bert.encoder.layer.0.intermediate.dense.weight"].shape[0]
         max_pos = sd["bert.embeddings.position_embeddings.weight"].shape[0]
         config = mlm_config(

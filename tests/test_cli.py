@@ -223,3 +223,18 @@ def test_cli_attack_coreference(cli_env, tmp_path_factory):
         "-visdial_processed_val_coref_dependency", dep_path,
     ], max_batches=1)
     assert "mrr" in metrics and "ndcg" in metrics
+
+
+def test_boolean_flag_pairs():
+    """Every boolean config field has a working -X / -no_X switch pair, so
+    default-True fields (remat, use_pallas) are controllable from any CLI;
+    -continue is an explicit alias for -continue_training."""
+    assert parse_config([]).use_pallas is True
+    assert parse_config([]).remat is True
+    cfg = parse_config(["-no_use_pallas", "-no_remat", "-dynamic_buckets"])
+    assert cfg.use_pallas is False
+    assert cfg.remat is False
+    assert cfg.dynamic_buckets is True
+    assert parse_config(["-continue"]).continue_training is True
+    assert parse_config(["-overfit"]).overfit is True
+    assert parse_config(["-no_overfit"]).overfit is False

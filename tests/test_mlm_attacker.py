@@ -90,11 +90,11 @@ def test_load_mlm_attacker_from_torch_bin(hf_mlm, tmp_path):
     assert fl.config.num_hidden_layers == cfg.num_hidden_layers
     assert fl.config.intermediate_size == cfg.intermediate_size
 
-    # shape-derivation path (bert-base convention) still loads and runs
-    auto_fl, auto_params = load_mlm_attacker(path)
-    assert auto_fl.config.vocab_size == cfg.vocab_size
-    assert auto_fl.config.max_position_embeddings == \
-        cfg.max_position_embeddings
+    # shape-derivation path: the 64-per-head convention does NOT fit this
+    # tiny config (hidden 32) — must error loudly, not silently build a
+    # 1-head model with the wrong attention split
+    with pytest.raises(ValueError, match="num_attention_heads"):
+        load_mlm_attacker(path)
 
     g = torch.Generator().manual_seed(8)
     input_ids = torch.randint(1, cfg.vocab_size, (2, 10), generator=g)
