@@ -92,14 +92,59 @@ def build_tokenizer(config: GSTConfig) -> BertTokenizer:
 
 
 def build_model(config: GSTConfig, use_decoder: bool = True,
-                remat: bool = False
+                remat: bool = False, mesh=None
                 ) -> Tuple[GSTVisualDialog, EncoderConfig, DecoderConfig]:
     enc_cfg = config.encoder_config()
     dec_cfg = config.decoder_config()
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     model = GSTVisualDialog(enc_cfg, dec_cfg, use_decoder=use_decoder,
-                            dtype=dtype, remat=remat)
+                            dtype=dtype, remat=remat, mesh=mesh)
     return model, enc_cfg, dec_cfg
+
+
+def make_generation_mesh(config: GSTConfig):
+    """Device mesh for the generation/inference CLIs — the SPMD stand-in for
+    the reference's DataParallel wrap (generate.py:67,77, inference.py:64).
+
+    Local-devices only: synthetic dialog generation is embarrassingly
+    parallel over images, so multi-host runs stripe the DATASET per process
+    (DataLoader process_index/process_count) and each host drives its own
+    local mesh — no cross-host collectives, DCN stays idle.  Returns None
+    when a single device is available or -data_parallel 1 forces it off.
+    """
+    if config.data_parallel == 1 and config.model_parallel <= 1:
+        return None
+    local = jax.local_devices()
+    if len(local) <= 1:
+        return None
+    from gstx.core.mesh import make_mesh
+
+    mp = max(1, config.model_parallel)
+    dp = config.data_parallel
+    if dp == -1:
+        dp = len(local) // mp
+    n = dp * mp
+    if n < 1 or n > len(local):
+        raise SystemExit(
+            f"error: mesh {dp}x{mp} needs {n} devices, "
+            f"have {len(local)} local")
+    return make_mesh(dp, mp, devices=local[:n])
+
+
+def pad_batch_rows(batch, multiple: int):
+    """Pad a numpy batch dict's leading axis up to a multiple (DP meshes
+    need the batch divisible by the data axis).  Padded rows repeat row 0
+    and are dropped by the caller via the returned valid count."""
+    import numpy as np
+
+    n = next(iter(batch.values())).shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+    batch = {k: np.concatenate([np.asarray(v),
+                                np.repeat(np.asarray(v)[:1], pad, axis=0)])
+             for k, v in batch.items()}
+    return batch, n
 
 
 def init_params(model: GSTVisualDialog, config: GSTConfig, seed: int = 0):

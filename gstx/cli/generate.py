@@ -25,6 +25,8 @@ from gstx.cli.common import (
     build_tokenizer,
     enable_compile_cache,
     load_params,
+    make_generation_mesh,
+    pad_batch_rows,
     parse_config,
 )
 from gstx.data.loader import DataLoader
@@ -53,7 +55,12 @@ def main(argv=None, max_batches=None):
 
         dataset = CC12mDataset(config, tokenizer, mode="cc12m_gen")
 
-    model, enc_cfg, dec_cfg = build_model(config)
+    # SPMD generation (reference: DataParallel at generate.py:67,77): batch
+    # shards over the local mesh's data axis; multi-host runs stripe the
+    # dataset per process instead of communicating (see make_generation_mesh)
+    mesh = make_generation_mesh(config)
+    dp = mesh.shape["data"] if mesh is not None else 1
+    model, enc_cfg, dec_cfg = build_model(config, mesh=mesh)
     q_params = load_params(model, config, config.start_path_q)
     a_params = load_params(model, config, config.start_path_a)
 
@@ -75,11 +82,15 @@ def main(argv=None, max_batches=None):
             top_k=config.top_k, top_p=config.top_p, ngram_blocking_size=0),
         dtype=jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32,
         context_buckets=config.context_bucket_tuple(),
-        dynamic_buckets=config.dynamic_buckets)
+        dynamic_buckets=config.dynamic_buckets,
+        quantize_memory=config.quantize_memory,
+        mesh=mesh)
 
     loader = DataLoader(dataset, batch_size=config.batch_size, shuffle=False,
                         drop_last=False, num_workers=config.num_workers,
-                        seed=config.seed)
+                        seed=config.seed,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
     rng = jax.random.PRNGKey(config.seed)
     gen_data = []
     t0 = time.time()
@@ -91,19 +102,24 @@ def main(argv=None, max_batches=None):
     def dispatch(idx, batch):
         nonlocal rng
         rng, key = jax.random.split(rng)
+        # partial final batches pad to a data-axis multiple; padded rows
+        # (repeats of row 0) are sliced away in consume
+        batch, n_valid = pad_batch_rows(batch, dp)
         dev = {k: jnp.asarray(v) for k, v in batch.items()
                if k != "image_id"}
         out = engine(q_params, a_params, dev, key)
-        pending.append((idx, batch, out))
+        pending.append((idx, batch, n_valid, out))
 
     def drain():
-        idx, batch, out = pending.pop(0)
+        idx, batch, n_valid, out = pending.pop(0)
         consume(idx, batch,
-                np.asarray(out.questions), np.asarray(out.answers),
-                np.asarray(out.answer_ppl), np.asarray(out.abnormal))
+                np.asarray(out.questions)[:, :n_valid],
+                np.asarray(out.answers)[:, :n_valid],
+                np.asarray(out.answer_ppl)[:, :n_valid],
+                np.asarray(out.abnormal)[:n_valid])
 
     def consume(idx, batch, questions, answers, ppls, abnormal):
-        image_ids = np.asarray(batch["image_id"])[:, 0]
+        image_ids = np.asarray(batch["image_id"])[:len(abnormal), 0]
         _collect(idx, image_ids, questions, answers, ppls, abnormal)
 
     def _collect(idx, image_ids, questions, answers, ppls, abnormal):
@@ -144,7 +160,13 @@ def main(argv=None, max_batches=None):
     while pending:
         drain()
 
-    out_path = os.path.join(config.save_path, config.save_name)
+    save_name = config.save_name
+    if jax.process_count() > 1:
+        # per-host output shard (hosts stripe the dataset independently);
+        # downstream chunk loading globs the directory either way
+        root, ext = os.path.splitext(save_name)
+        save_name = f"{root}.proc{jax.process_index()}{ext}"
+    out_path = os.path.join(config.save_path, save_name)
     json.dump(gen_data, open(out_path, "w"))
     print(f"[generate] wrote {len(gen_data)} dialogs to {out_path}")
     return gen_data

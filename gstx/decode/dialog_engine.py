@@ -104,6 +104,7 @@ def make_dialog_engine(
     context_buckets: Tuple[int, ...] = (),
     quantize_memory: bool = False,
     dynamic_buckets: bool = False,
+    mesh=None,
 ):
     """Build the jittable dialog-generation function.
 
@@ -111,6 +112,15 @@ def make_dialog_engine(
     ``batch`` is a dict with enc_input_ids, enc_segments, image features /
     locations / mask (the cc12m_gen / vd_gen_val batch layout,
     dataloader_cc12m_gen.py:55-102).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the SPMD replacement for the
+    reference's DataParallel-wrapped generation (generate.py:67,77,
+    inference.py:64).  Batch inputs shard over the 'data' axis and params
+    place via ``shard_by_path`` (replicated, or vocab-dim tensor-parallel
+    when the mesh has a >1 'model' axis); the jitted round program then
+    partitions by sharding propagation, so outputs are bitwise identical to
+    the single-device engine (same rng counters, same math — only the
+    partitioning differs).  The batch size must divide the data axis.
 
     ``context_buckets``: optional ascending context widths (e.g. (128, 192))
     smaller than the full buffer.  Early rounds whose worst-case context
@@ -219,16 +229,24 @@ def make_dialog_engine(
         of rounding the bf16 path applies everywhere else.  LayerNorm
         affine params and the LM bias stay f32 — they are consumed in f32.
         """
+        def path_names(path):
+            return tuple(str(getattr(k, "key", getattr(k, "name", k)))
+                         for k in path)
+
+        # A LayerNorm module is identified structurally: its subtree holds a
+        # 'scale' leaf.  Its sibling 'bias' must stay f32 (consumed in f32)
+        # regardless of what the parent module happens to be named.
+        leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+        ln_parents = {path_names(p)[:-1] for p, _ in leaves
+                      if path_names(p)[-1] == "scale"}
+
         def cast(path, leaf):
             if leaf.dtype != jnp.float32:
                 return leaf
-            names = [str(getattr(k, "key", getattr(k, "name", k)))
-                     for k in path]
-            parent = names[-2] if len(names) >= 2 else ""
+            names = path_names(path)
             if names[-1] in ("scale", "lm_bias"):
                 return leaf
-            if names[-1] == "bias" and (parent == "ln"
-                                        or parent.endswith("_ln")):
+            if names[-1] == "bias" and names[:-1] in ln_parents:
                 return leaf
             return leaf.astype(jnp.bfloat16)
         return jax.tree_util.tree_map_with_path(cast, params)
@@ -244,6 +262,13 @@ def make_dialog_engine(
     def engine(q_params, a_params, batch, rng,
                round_fn=None) -> DialogOutput:
         round_fn = round_fn or jitted_round
+        if mesh is not None:
+            from gstx.core.mesh import shard_batch, shard_by_path
+
+            same = a_params is q_params
+            q_params = shard_by_path(mesh, q_params)
+            a_params = q_params if same else shard_by_path(mesh, a_params)
+            batch = shard_batch(mesh, batch)
         if dtype == jnp.bfloat16:
             same = a_params is q_params
             q_params = jitted_precast(q_params)
