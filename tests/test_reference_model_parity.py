@@ -1,0 +1,372 @@
+"""Parity against the reference's OWN torch modules (VERDICT round-2 #3).
+
+`tests/test_torch_parity_full.py` pins gstx against a TRANSCRIPTION of the
+reference equations; a transcription error would be invisible there.  This
+harness removes that risk: it imports the actual
+`/root/reference/models/vilbert_dialog.py` (BertForMultiModalPreTraining —
+the full two-stream encoder + heads), `visual_dialog_decoder.py`
+(BertForSequenceGeneration) and `visual_dialog_model.py` (VLFusion),
+instantiates them at the tiny topology, converts their randomly-initialized
+state dicts through `gstx.core.checkpoint.convert_torch_state_dict`, and
+re-runs the three composed-parity assertions (teacher-forced logits + loss,
+the 3 pretraining losses, candidate ranking) against the REFERENCE'S OWN
+forward passes.
+
+Two ~20-line accommodations make the reference code importable offline
+(the ONLY blocking issues, verified in round 2's VERDICT):
+  * `pytorch_transformers.modeling_bert.BertEmbeddings` — shimmed to the
+    installed `transformers` BertEmbeddings (vilbert_dialog.py:34 imports
+    it but never uses it: BertEmbeddingsDialog is self-contained);
+  * `pytorch_pretrained_bert.file_utils.cached_path` — stubbed (only
+    reachable via `from_pretrained`, which these tests never call);
+plus a CPU device proxy for the unused `pe` buffer that vilbert_dialog
+pins to CUDA at construction (vilbert_dialog.py:312; `pe` is not used in
+forward and is absent from state dicts).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+from torch import nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from gstx.core.checkpoint import convert_torch_state_dict  # noqa: E402
+from gstx.eval.rank_gen import candidate_log_likelihood  # noqa: E402
+from gstx.models.encdec import (  # noqa: E402
+    GSTVisualDialog,
+    derive_labels_and_inputs,
+    teacher_forced_loss,
+)
+from gstx.models.heads import (  # noqa: E402
+    masked_img_loss,
+    masked_lm_loss,
+    soft_nsp_loss,
+)
+
+EOS_ID, PAD_ID = 102, 0
+
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    import os
+
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "models")):
+        pytest.skip("reference tree not available")
+    mb = types.ModuleType("pytorch_transformers.modeling_bert")
+    mb.BertEmbeddings = transformers.models.bert.modeling_bert.BertEmbeddings
+    pt = types.ModuleType("pytorch_transformers")
+    pt.modeling_bert = mb
+    fu = types.ModuleType("pytorch_pretrained_bert.file_utils")
+
+    def cached_path(*a, **k):
+        raise RuntimeError("offline harness: cached_path must not be called")
+
+    fu.cached_path = cached_path
+    ppb = types.ModuleType("pytorch_pretrained_bert")
+    ppb.file_utils = fu
+    sys.modules.update({
+        "pytorch_transformers": pt,
+        "pytorch_transformers.modeling_bert": mb,
+        "pytorch_pretrained_bert": ppb,
+        "pytorch_pretrained_bert.file_utils": fu,
+    })
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import models.vilbert_dialog as vd
+        import models.visual_dialog_decoder as vdd
+        import models.visual_dialog_model as vdm
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+    class _TorchCPU:
+        """vilbert_dialog.py:312 pins the (unused) sinusoidal `pe` buffer to
+        CUDA at construction; route its torch.device to CPU."""
+
+        def __getattr__(self, name):
+            return getattr(torch, name)
+
+        @staticmethod
+        def device(*a, **k):
+            return torch.device("cpu")
+
+    vd.torch = _TorchCPU()
+    return vd, vdd, vdm
+
+
+def _ref_enc_config(vd, enc_cfg, mode, model_arch):
+    cfg = vd.BertConfig.from_dict(dict(
+        vocab_size=enc_cfg.vocab_size, hidden_size=enc_cfg.hidden_size,
+        num_hidden_layers=enc_cfg.num_hidden_layers,
+        num_attention_heads=enc_cfg.num_attention_heads,
+        intermediate_size=enc_cfg.intermediate_size, hidden_act="gelu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=enc_cfg.max_position_embeddings,
+        type_vocab_size=enc_cfg.type_vocab_size, initializer_range=0.02,
+        v_feature_size=enc_cfg.v_feature_size,
+        v_target_size=enc_cfg.v_target_size,
+        v_hidden_size=enc_cfg.v_hidden_size,
+        v_num_hidden_layers=enc_cfg.v_num_hidden_layers,
+        v_num_attention_heads=enc_cfg.v_num_attention_heads,
+        v_intermediate_size=enc_cfg.v_intermediate_size,
+        bi_hidden_size=enc_cfg.bi_hidden_size,
+        bi_num_attention_heads=enc_cfg.bi_num_attention_heads,
+        bi_intermediate_size=enc_cfg.bi_intermediate_size,
+        v_attention_probs_dropout_prob=0.0, v_hidden_act="gelu",
+        v_hidden_dropout_prob=0.0, v_initializer_range=0.02,
+        v_biattention_id=list(enc_cfg.v_biattention_id),
+        t_biattention_id=list(enc_cfg.t_biattention_id),
+        predict_feature=False, fast_mode=False, fixed_v_layer=0,
+        fixed_t_layer=0, in_batch_pairs=False, fusion_method="mul",
+        intra_gate=False, with_coattention=True))
+    cfg.cur_device = 0
+    cfg.mode = mode
+    cfg.model_arch = model_arch
+    return cfg
+
+
+def _ref_dec_config(vdd, dec_cfg):
+    cfg = vdd.BertGenerationConfig(
+        vocab_size=dec_cfg.vocab_size, hidden_size=dec_cfg.hidden_size,
+        num_hidden_layers=dec_cfg.num_hidden_layers,
+        num_attention_heads=dec_cfg.num_attention_heads,
+        intermediate_size=dec_cfg.intermediate_size, hidden_act="gelu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=dec_cfg.max_position_embeddings,
+        initializer_range=0.02, is_decoder=True, add_cross_attention=True,
+        layer_norm_eps=1e-12, bos_token_id=101, eos_token_id=EOS_ID,
+        pad_token_id=PAD_ID, use_cache=False)
+    cfg.type_vocab_size = dec_cfg.type_vocab_size
+    cfg.cur_device = 0
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ref_assembly(ref_modules, tiny_configs):
+    """The real reference model stack at tiny topology, its state dict run
+    through the gstx converter, and a shared input batch."""
+    vd, vdd, vdm = ref_modules
+    enc_cfg, dec_cfg = tiny_configs
+    torch.manual_seed(7)
+    cfg = _ref_enc_config(vd, enc_cfg, mode="vd_eval_val",
+                          model_arch="enc_dec_a")
+    encoder = vd.BertForMultiModalPreTraining(cfg).eval()
+    vlfusion = vdm.VLFusion(cfg).eval()
+    dcfg = _ref_dec_config(vdd, dec_cfg)
+    decoder = vdd.BertForSequenceGeneration(dcfg).eval()
+    # the reference's embedding-module swap (train_gen.py:293): decoder
+    # INPUT embeddings become the encoder's shared DialogEmbeddings, while
+    # lm_head keeps the decoder's ORIGINAL (now-orphaned) table — exactly
+    # the tying topology gstx reproduces structurally
+    decoder.bert.embeddings = encoder.bert.embeddings
+
+    # assemble the enc-dec checkpoint template exactly as
+    # EncoderDecoderModel.state_dict() lays it out (generate.py checkpoints)
+    sd = {}
+    for k, v in encoder.state_dict().items():
+        sd[f"encoder.bert_pretrained.{k}"] = v.detach().numpy()
+    for k, v in decoder.state_dict().items():
+        sd[f"decoder.decoder.{k}"] = v.detach().numpy()
+    for k, v in vlfusion.state_dict().items():
+        sd[f"vlfusion.{k}"] = v.detach().numpy()
+    tree = convert_torch_state_dict(
+        sd, num_text_layers=enc_cfg.num_hidden_layers,
+        num_visual_layers=enc_cfg.v_num_hidden_layers,
+        num_co_layers=len(enc_cfg.v_biattention_id),
+        num_dec_layers=dec_cfg.num_hidden_layers)
+    fl = GSTVisualDialog(enc_cfg, dec_cfg)
+
+    B, L, R, T = 6, 24, 7, 10
+    g = torch.Generator().manual_seed(11)
+    batch = {
+        "input_ids": torch.randint(1, enc_cfg.vocab_size, (B, L),
+                                   generator=g),
+        "image_feat": torch.randn(B, R, enc_cfg.v_feature_size, generator=g),
+        "image_loc": torch.rand(B, R, 5, generator=g),
+        # both the base segment table and the 10-slot extension table
+        "token_type_ids": torch.randint(0, 4, (B, L), generator=g),
+        "attention_mask": (torch.rand(B, L, generator=g) > 0.2).long(),
+        "image_attention_mask": (torch.rand(B, R, generator=g) > 0.2).long(),
+    }
+    batch["attention_mask"][:, 0] = 1
+    batch["image_attention_mask"][:, 0] = 1
+    dec_ids = torch.randint(1, dec_cfg.vocab_size, (B, T), generator=g)
+    dec_ids[:, 0] = 101
+    dec_ids[:, -2] = EOS_ID
+    dec_ids[:, -1] = PAD_ID
+    return (vd, vdd, vdm, cfg, encoder, vlfusion, decoder, fl,
+            {"params": tree}, batch, dec_ids)
+
+
+def _jx(t):
+    return jnp.asarray(t.numpy())
+
+
+def _ref_encode(encoder, batch):
+    """enc_dec branch of the reference encoder forward
+    (vilbert_dialog.py:1485-1488/1516-1517): returns the two last hidden
+    streams."""
+    with torch.no_grad():
+        out = encoder(
+            batch["input_ids"], batch["image_feat"], batch["image_loc"],
+            token_type_ids=batch["token_type_ids"],
+            attention_mask=batch["attention_mask"],
+            image_attention_mask=batch["image_attention_mask"])
+    return out  # (hidden_t, hidden_v) in eval enc_dec mode
+
+
+def test_reference_teacher_forced_logits_and_loss(ref_assembly):
+    """encode -> VLFusion -> teacher-forced decode against the reference's
+    own modules, including its in-forward label derivation
+    (visual_dialog_decoder.py:53-57) and CE-ignore-pad loss."""
+    (_, _, _, _, encoder, vlfusion, decoder, fl, params, batch,
+     dec_ids) = ref_assembly
+    dec_mask = (dec_ids != PAD_ID).long()
+    t_labels = torch.zeros_like(dec_ids)
+    t_labels[:, :-1] = dec_ids[:, 1:]
+    t_inputs = dec_ids.masked_fill(dec_ids == EOS_ID, PAD_ID)
+
+    hidden_t, hidden_v = _ref_encode(encoder, batch)
+    with torch.no_grad():
+        memory, mem_mask = vlfusion(hidden_t, hidden_v,
+                                    batch["attention_mask"],
+                                    batch["image_attention_mask"])
+        dout = decoder(decoder_input_ids=t_inputs, attention_mask=dec_mask,
+                       encoder_hidden_states=memory,
+                       encoder_attention_mask=mem_mask)
+        want_logits = dout.logits
+        want_loss = nn.CrossEntropyLoss(ignore_index=PAD_ID)(
+            want_logits.reshape(-1, want_logits.shape[-1]),
+            t_labels.reshape(-1))
+
+    labels, inputs = derive_labels_and_inputs(_jx(dec_ids), EOS_ID, PAD_ID)
+    np.testing.assert_array_equal(np.asarray(labels), t_labels.numpy())
+    np.testing.assert_array_equal(np.asarray(inputs), t_inputs.numpy())
+    got_logits = fl.apply(
+        params, _jx(batch["input_ids"]), _jx(batch["image_feat"]),
+        _jx(batch["image_loc"]), _jx(batch["token_type_ids"]),
+        _jx(batch["attention_mask"]), _jx(batch["image_attention_mask"]),
+        inputs, _jx(dec_mask), method=GSTVisualDialog.score)
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    got_loss = teacher_forced_loss(got_logits, labels, PAD_ID)
+    np.testing.assert_allclose(float(got_loss), float(want_loss),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_reference_pretraining_losses(ref_modules, ref_assembly,
+                                      tiny_configs):
+    """enc_only train branch (vilbert_dialog.py:1489-1510): the reference's
+    own MLM / masked-image KLDiv / soft-NSP losses against gstx's."""
+    vd, _, _ = ref_modules
+    enc_cfg, _ = tiny_configs
+    (_, _, _, _, encoder, _, _, fl, params, batch, _) = ref_assembly
+    # enc_only train branches are config-driven: rebuild a wrapper view of
+    # the SAME weights under mode='vd_train', model_arch='enc_only_a'
+    cfg2 = _ref_enc_config(vd, enc_cfg, mode="vd_train",
+                           model_arch="enc_only_a")
+    enc_only = vd.BertForMultiModalPreTraining(cfg2).eval()
+    enc_only.load_state_dict(encoder.state_dict(), strict=True)
+
+    B, L = batch["input_ids"].shape
+    R = batch["image_feat"].shape[1]
+    g = torch.Generator().manual_seed(13)
+    mlm_labels = torch.where(
+        torch.rand(B, L, generator=g) < 0.15,
+        torch.randint(0, enc_cfg.vocab_size, (B, L), generator=g),
+        torch.full((B, L), -1))
+    image_target = torch.softmax(
+        torch.randn(B, R, enc_cfg.v_target_size, generator=g), -1)
+    image_label = torch.where(
+        torch.rand(B, R, generator=g) < 0.2,
+        torch.ones(B, R, dtype=torch.long),
+        torch.full((B, R), -1, dtype=torch.long))
+    image_label[:, 1] = 1
+    nsp_labels = torch.softmax(torch.randn(B, 2, generator=g), -1)
+
+    with torch.no_grad():
+        want_lm, want_img, want_nsp, _, pred_t, nsp_score = enc_only(
+            batch["input_ids"], batch["image_feat"], batch["image_loc"],
+            token_type_ids=batch["token_type_ids"],
+            attention_mask=batch["attention_mask"],
+            image_attention_mask=batch["image_attention_mask"],
+            masked_lm_labels=mlm_labels, image_label=image_label,
+            image_target=image_target, next_sentence_label=nsp_labels)
+
+    got_t, got_v, got_nsp = fl.apply(
+        params, _jx(batch["input_ids"]), _jx(batch["image_feat"]),
+        _jx(batch["image_loc"]), _jx(batch["token_type_ids"]),
+        _jx(batch["attention_mask"]), _jx(batch["image_attention_mask"]),
+        method=GSTVisualDialog.pretrain_scores)
+    np.testing.assert_allclose(np.asarray(got_t), pred_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_nsp), nsp_score.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    got = (masked_lm_loss(got_t, _jx(mlm_labels)),
+           masked_img_loss(got_v, _jx(image_target), _jx(image_label)),
+           soft_nsp_loss(got_nsp, _jx(nsp_labels)))
+    for g_, w_ in zip(got, (want_lm, want_img, want_nsp)):
+        np.testing.assert_allclose(float(g_), float(w_), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_reference_candidate_ranking(ref_assembly, tiny_configs):
+    """Generative candidate ranking (evaluate_gen.py:94-107) against the
+    reference's own encoder+fusion+decoder."""
+    enc_cfg, _ = tiny_configs
+    (_, _, _, _, encoder, vlfusion, decoder, fl, params, batch,
+     _) = ref_assembly
+    B, C, T = 4, 8, 9
+    g = torch.Generator().manual_seed(17)
+    cands = torch.randint(1, enc_cfg.vocab_size, (B, C, T), generator=g)
+    cands[:, :, 0] = 101
+    for b in range(B):
+        for c in range(C):
+            n = int(torch.randint(3, T, (1,), generator=g))
+            cands[b, c, n:] = PAD_ID
+
+    sl = {k: v[:B] for k, v in batch.items()}
+    hidden_t, hidden_v = _ref_encode(encoder, sl)
+    with torch.no_grad():
+        memory, mem_mask = vlfusion(hidden_t, hidden_v,
+                                    sl["attention_mask"],
+                                    sl["image_attention_mask"])
+        want_scores = torch.zeros(B, C)
+        for c in range(C):
+            ids = cands[:, c]
+            targets = torch.zeros_like(ids)
+            targets[:, :-1] = ids[:, 1:]
+            inputs = ids.masked_fill(ids == EOS_ID, PAD_ID)
+            mask = (ids != PAD_ID).long()
+            logits = decoder(decoder_input_ids=inputs, attention_mask=mask,
+                             encoder_hidden_states=memory,
+                             encoder_attention_mask=mem_mask).logits
+            logp = F.log_softmax(logits, dim=-1)
+            tok = torch.gather(logp, 2, targets.unsqueeze(-1)).squeeze(-1)
+            tok = tok.masked_fill(targets == PAD_ID, 0.0)
+            want_scores[:, c] = tok.sum(-1)
+
+    flat = cands.reshape(B * C, T)
+    inputs_j = jnp.where(_jx(flat) == EOS_ID, PAD_ID, _jx(flat))
+    mask_j = (_jx(flat) != PAD_ID).astype(jnp.int32)
+    rep = lambda a: jnp.repeat(_jx(a), C, axis=0)
+    got_logits = fl.apply(
+        params, rep(sl["input_ids"]), rep(sl["image_feat"]),
+        rep(sl["image_loc"]), rep(sl["token_type_ids"]),
+        rep(sl["attention_mask"]), rep(sl["image_attention_mask"]),
+        inputs_j, mask_j, method=GSTVisualDialog.score)
+    got_scores = candidate_log_likelihood(
+        got_logits, _jx(flat), PAD_ID).reshape(B, C)
+    np.testing.assert_allclose(np.asarray(got_scores), want_scores.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.argsort(-np.asarray(got_scores), axis=1),
+        np.argsort(-want_scores.numpy(), axis=1))
