@@ -53,6 +53,10 @@ def main():
                         help="1 = int8 cross-attention memory (slower in "
                              "the full engine - see PERF.md), 0 = bf16 "
                              "memory (production default)")
+    parser.add_argument("-erf", type=str, default="as7126",
+                        choices=("as7126", "as7125", "poly"),
+                        help="in-kernel erf implementation for the fused "
+                             "FFN (A/B of the VPU tail - PERF.md)")
     args = parser.parse_args()
 
     import jax
@@ -66,6 +70,7 @@ def main():
     if args.pallas:
         from gstx.kernels import ffn as _pf
         _pf.enable(True)
+        _pf.set_erf_impl(args.erf)
 
     from gstx.core.config import (CLS_ID, SEP_ID, DecoderConfig,
                                   EncoderConfig)

@@ -34,6 +34,12 @@ from gstx.decode.dialog_engine import make_dialog_engine
 from gstx.decode.sampler import DecodeSettings
 
 
+def _process_info():
+    """(process_index, process_count) — seam so tests can simulate a
+    multi-host run without confusing orbax/multihost_utils."""
+    return jax.process_index(), jax.process_count()
+
+
 def main(argv=None, max_batches=None):
     config = parse_config(argv, "gstx dialog generation")
     pprint.pprint(config)
@@ -86,11 +92,11 @@ def main(argv=None, max_batches=None):
         quantize_memory=config.quantize_memory,
         mesh=mesh)
 
+    proc_idx, proc_count = _process_info()
     loader = DataLoader(dataset, batch_size=config.batch_size, shuffle=False,
                         drop_last=False, num_workers=config.num_workers,
                         seed=config.seed,
-                        process_index=jax.process_index(),
-                        process_count=jax.process_count())
+                        process_index=proc_idx, process_count=proc_count)
     rng = jax.random.PRNGKey(config.seed)
     gen_data = []
     t0 = time.time()
@@ -161,11 +167,11 @@ def main(argv=None, max_batches=None):
         drain()
 
     save_name = config.save_name
-    if jax.process_count() > 1:
+    if proc_count > 1:
         # per-host output shard (hosts stripe the dataset independently);
         # downstream chunk loading globs the directory either way
         root, ext = os.path.splitext(save_name)
-        save_name = f"{root}.proc{jax.process_index()}{ext}"
+        save_name = f"{root}.proc{proc_idx}{ext}"
     out_path = os.path.join(config.save_path, save_name)
     json.dump(gen_data, open(out_path, "w"))
     print(f"[generate] wrote {len(gen_data)} dialogs to {out_path}")

@@ -59,13 +59,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _erf(x):
-    """f32 erf from primitives (lax.erf has no Pallas TPU lowering).
+# In-kernel erf implementation (lax.erf has no Pallas TPU lowering).  All
+# three are sub-bf16-resolution; they differ in VPU cost.  The FFN kernel
+# runs at 163 TF/s vs the 361 TF/s pure-matmul rate because the erf tail
+# does not fully overlap the MXU (PERF.md roadmap 1) — selectable here so
+# the variants can be A/B'd in the full engine.
+#   as7126: A&S 7.1.26, 5-term rational x exp(-x^2); max err 1.5e-7
+#   as7125: A&S 7.1.25, 3-term rational x exp(-x^2); max err 2.5e-5
+#   poly:   odd Chebyshev fit x*P(x^2) deg 10, NO exp / NO divide;
+#           max err 6.7e-5 in f32 Horner (clamped to +-1 at |x|>=3.2)
+_ERF_IMPL = "as7126"
 
-    Abramowitz & Stegun 7.1.26 (rational poly x exp(-x^2)), max abs error
-    1.5e-7 — below bf16 resolution and below the jnp-vs-kernel test
-    tolerances.
-    """
+
+def set_erf_impl(name: str):
+    global _ERF_IMPL
+    assert name in ("as7126", "as7125", "poly"), name
+    _ERF_IMPL = name
+
+
+def _erf_as7126(x):
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
     s = jnp.sign(x)
@@ -73,6 +85,41 @@ def _erf(x):
     t = 1.0 / (1.0 + p * ax)
     poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
     return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _erf_as7125(x):
+    a1, a2, a3, p = 0.3480242, -0.0958798, 0.7478556, 0.47047
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((a3 * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+# ascending coefficients of P(x^2) with erf(x) ~= x * P(x^2) on [0, 3.2]
+_ERF_POLY = (
+    1.1283780952953903, -0.3760988184823886, 0.1127200536750201,
+    -0.026667773601845128, 0.005050076017138482, -0.0007637513688678132,
+    8.965654474807214e-05, -7.760456752796303e-06, 4.591610321141101e-07,
+    -1.638980577687176e-08, 2.6407040815881297e-10)
+
+
+def _erf_poly(x):
+    ax = jnp.abs(x)
+    t = ax * ax
+    acc = jnp.full_like(t, _ERF_POLY[-1])
+    for c in _ERF_POLY[-2::-1]:
+        acc = acc * t + c
+    core = ax * acc
+    return jnp.sign(x) * jnp.where(ax >= 3.2, 1.0, core)
+
+
+def _erf(x):
+    if _ERF_IMPL == "as7125":
+        return _erf_as7125(x)
+    if _ERF_IMPL == "poly":
+        return _erf_poly(x)
+    return _erf_as7126(x)
 
 
 def _gelu_erf(x):

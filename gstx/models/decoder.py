@@ -127,17 +127,57 @@ class DecoderLayer(nn.Module):
         out = self.dropout(out, deterministic=deterministic)
         return self.self_ln(out + x)
 
-    def _cross_block(self, x, mem_k, mem_v, mem_mask, deterministic):
+    def _cross_block(self, x, mem, mem_mask, deterministic):
+        """Cross-attention over the static encoder memory.  ``mem`` is a
+        per-layer (k, v) pair or an int8 4-tuple (k_i8, v_i8, k_scale,
+        v_scale) from :func:`quantize_memory_kv`."""
         h = self.config.num_attention_heads
         q = split_heads(self.cross_q(x), h)
-        rng = None if deterministic else self.make_rng("dropout")
-        ctx = attend(q, mem_k, mem_v, mem_mask,
-                     dropout_rate=self.attn_dropout_rate,
-                     deterministic=deterministic, dropout_rng=rng,
-                     dtype=self.dtype)
+        if len(mem) == 4:
+            ctx = self._quant_cross_attend(q, mem, mem_mask)
+        else:
+            mem_k, mem_v = mem
+            rng = None if deterministic else self.make_rng("dropout")
+            ctx = attend(q, mem_k, mem_v, mem_mask,
+                         dropout_rate=self.attn_dropout_rate,
+                         deterministic=deterministic, dropout_rng=rng,
+                         dtype=self.dtype)
         out = self.cross_out(merge_heads(ctx))
         out = self.dropout(out, deterministic=deterministic)
         return self.cross_ln(out + x)
+
+    def _quant_cross_attend(self, q, mem, mem_mask):
+        """Scale-folded int8 cross-attention: K/V stay int8 all the way to
+        the dots' operand reads.
+
+        The per-(batch, head, channel) K scale (and the 1/sqrt(dh) logits
+        scale) folds into q BEFORE the QK^T dot, and the V scale folds into
+        the context AFTER the PV dot — so no dequantized copy of the ~1 GB
+        decode memory is ever materialized; the only per-element work on the
+        big operands is a unary int8->dtype convert, which XLA fuses into
+        the dot's read (the round-2 `dequantize_kv` multiply was a binary op
+        with a broadcast operand and lost that fusion inside the engine's
+        round program — PERF.md opt 7)."""
+        kq, vq, ks, vs = mem
+        dh = q.shape[-1]
+        q = (q.astype(jnp.float32) * ks.astype(jnp.float32)
+             * (1.0 / float(dh) ** 0.5)).astype(self.dtype)
+        # single-token decode steps on TPU use the pallas kernel, which
+        # guarantees K/V stream from HBM at int8 width inside the decode
+        # while_loop (XLA hoists the loop-invariant int8->bf16 convert out
+        # of the loop, re-materializing bf16 K/V — gstx/kernels/decode_attn)
+        from gstx.kernels.decode_attn import maybe_quant_decode_attention
+
+        ctx = maybe_quant_decode_attention(q, kq, vq, mem_mask)
+        if ctx is None:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, kq.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
+            if mem_mask is not None:
+                scores = scores + mem_mask.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vq.astype(self.dtype),
+                             preferred_element_type=jnp.float32)
+        return (ctx * vs.astype(jnp.float32)).astype(self.dtype)
 
     def _ffn_block(self, x, deterministic):
         h = jax.nn.gelu(self.intermediate(x), approximate=False)
@@ -153,20 +193,20 @@ class DecoderLayer(nn.Module):
         mem_mask: Optional[jnp.ndarray],  # [B, 1, 1, M] additive
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        mem_k, mem_v = self.memory_kv(memory)
         return self.forward_with_memory_kv(
-            x, self_mask, mem_k, mem_v, mem_mask, deterministic)
+            x, self_mask, self.memory_kv(memory), mem_mask, deterministic)
 
     def forward_with_memory_kv(
-        self, x, self_mask, mem_k, mem_v, mem_mask, deterministic: bool = True
+        self, x, self_mask, mem, mem_mask, deterministic: bool = True
     ) -> jnp.ndarray:
         """Full-sequence forward with precomputed cross-attention K/V (used
         when the encoder memory is reused, e.g. perplexity scoring right
-        after answer decoding in the dialog engine)."""
+        after answer decoding in the dialog engine).  ``mem`` may be a
+        (k, v) pair or an int8 4-tuple."""
         h = self.config.num_attention_heads
         q, k, v = (split_heads(t, h) for t in jnp.split(self.qkv(x), 3, -1))
         x = self._self_block(x, q, k, v, self_mask, deterministic)
-        x = self._cross_block(x, mem_k, mem_v, mem_mask, deterministic)
+        x = self._cross_block(x, mem, mem_mask, deterministic)
         return self._ffn_block(x, deterministic)
 
     def init_cache(self, batch: int, max_len: int) -> Cache:
@@ -180,8 +220,7 @@ class DecoderLayer(nn.Module):
         x: jnp.ndarray,               # [B, 1, D] current token's hidden
         pos: jnp.ndarray,             # scalar int32 — write position
         cache: Cache,
-        mem_k: jnp.ndarray,
-        mem_v: jnp.ndarray,
+        mem,                          # (k, v) or int8 4-tuple
         mem_mask: Optional[jnp.ndarray],
     ) -> Tuple[jnp.ndarray, Cache]:
         """One KV-cached decode step (always deterministic)."""
@@ -194,7 +233,7 @@ class DecoderLayer(nn.Module):
         slot = jnp.arange(max_len)
         smask = jnp.where(slot[None, None, None, :] <= pos, 0.0, -10000.0)
         x = self._self_block(x, q, ck, cv, smask.astype(self.dtype), True)
-        x = self._cross_block(x, mem_k, mem_v, mem_mask, True)
+        x = self._cross_block(x, mem, mem_mask, True)
         x = self._ffn_block(x, True)
         return x, {"k": ck, "v": cv}
 
@@ -286,9 +325,8 @@ class GSTDecoderModel(nn.Module):
             attention_mask = jnp.ones(x.shape[:2], dtype=jnp.int32)
         self_mask = causal_additive_mask(attention_mask, dtype=self.dtype)
         for layer, mem in zip(self.layers, memory_kv):
-            mk, mv = dequantize_kv(mem)
             x = layer.forward_with_memory_kv(
-                x, self_mask, mk, mv, memory_mask, deterministic)
+                x, self_mask, mem, memory_mask, deterministic)
         return x
 
     # ---- KV-cached decoding ----
@@ -311,7 +349,6 @@ class GSTDecoderModel(nn.Module):
     ) -> Tuple[jnp.ndarray, List[Cache]]:
         new_caches = []
         for layer, cache, mem in zip(self.layers, caches, memory_kv):
-            mk, mv = dequantize_kv(mem)
-            x, cache = layer.step(x, pos, cache, mk, mv, memory_mask)
+            x, cache = layer.step(x, pos, cache, mem, memory_mask)
             new_caches.append(cache)
         return x, new_caches

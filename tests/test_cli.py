@@ -238,3 +238,27 @@ def test_boolean_flag_pairs():
     assert parse_config(["-continue"]).continue_training is True
     assert parse_config(["-overfit"]).overfit is True
     assert parse_config(["-no_overfit"]).overfit is False
+
+
+@pytest.mark.slow
+def test_cli_generate_multihost_striping(cli_env, monkeypatch):
+    """Multi-host generate: each process reads only its dataset stripe and
+    writes a per-process output shard (generate is embarrassingly parallel
+    over images — no cross-host collectives, see make_generation_mesh)."""
+    from gstx.cli import generate as gen_mod
+    from gstx.cli.generate import main
+
+    args, cfg, ckpt = cli_env
+    monkeypatch.setattr(gen_mod, "_process_info", lambda: (1, 2))
+    gen = main(args + ["-mode", "vd_gen_val", "-save_name", "mh.json",
+                       "-start_path_q", ckpt, "-start_path_a", ckpt,
+                       "-batch_size", "2", "-num_dialog_rounds", "1",
+                       "-max_dec_len", "4"],
+               max_batches=1)
+    out_path = os.path.join(cfg.save_path, "mh.proc1.json")
+    assert os.path.exists(out_path)
+    data = json.load(open(out_path))
+    assert data == gen
+    # the 4-dialog fixture stripes 2 per process; process 1 gets the odd
+    # global indices
+    assert 0 < len(data) <= 2

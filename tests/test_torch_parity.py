@@ -431,7 +431,7 @@ def test_decoder_layer_torch_parity():
     for pos in range(L):
         out, cache = fl.apply(
             {"params": tree}, jnp.asarray(x.numpy()[:, pos:pos + 1]), pos,
-            cache, mem_k, mem_v, jnp.asarray(mem_mask.numpy()),
+            cache, (mem_k, mem_v), jnp.asarray(mem_mask.numpy()),
             method=DecoderLayer.step)
         outs.append(np.asarray(out)[:, 0])
     np.testing.assert_allclose(np.stack(outs, 1), want, rtol=1e-4, atol=1e-4)
