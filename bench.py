@@ -53,6 +53,9 @@ def main():
                         help="1 = int8 cross-attention memory (slower in "
                              "the full engine - see PERF.md), 0 = bf16 "
                              "memory (production default)")
+    parser.add_argument("-decode_kernel", type=int, default=0,
+                        help="1 = pallas int8 decode-step cross-attention "
+                             "(measured -23 pct in-engine, PERF.md r3)")
     parser.add_argument("-erf", type=str, default="as7126",
                         choices=("as7126", "as7125", "poly"),
                         help="in-kernel erf implementation for the fused "
@@ -71,6 +74,9 @@ def main():
         from gstx.kernels import ffn as _pf
         _pf.enable(True)
         _pf.set_erf_impl(args.erf)
+    if args.decode_kernel:
+        from gstx.kernels import decode_attn as _da
+        _da.enable_kernel(True)
 
     from gstx.core.config import (CLS_ID, SEP_ID, DecoderConfig,
                                   EncoderConfig)

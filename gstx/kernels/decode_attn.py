@@ -47,10 +47,10 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads: int):
 
 
 def _pick_block(b: int) -> int:
-    # nb=16 at M=165 blew the 16 MB scoped-VMEM limit (19.5 MB with int8
-    # tile padding + the per-head f32 product intermediates); nb=8 fits
-    # every bucket width up to M=293
-    for nb in (8, 6, 4, 3, 2, 1):
+    # scoped VMEM is 16 MB: nb=16 blew it at M=165 (19.5 MB) and nb=8 at
+    # M=293 (17.2 MB) — int8 tile padding (dh 64->128 lanes) plus the
+    # per-head f32 product intermediates; nb=4 fits every bucket width
+    for nb in (4, 3, 2, 1):
         if b % nb == 0:
             return nb
     return 1
@@ -92,11 +92,25 @@ def quant_decode_attention(q, k_i8, v_i8, mask, *, interpret: bool = False):
     return out
 
 
+# OFF by default: the kernel does force int8-width HBM reads, but at GST's
+# decode shapes (M<=293 matvecs, dh=64) Mosaic's int8 relayout + VPU
+# reduce cost far exceeds the bandwidth saving — full-engine A/B measured
+# 9,367 vs 12,233 tok/s/chip (-23%; PERF.md round 3).  Kept for future
+# hardware/Mosaic generations with native int8 batched-matvec support.
+_KERNEL_ENABLED = False
+
+
+def enable_kernel(flag: bool = True):
+    global _KERNEL_ENABLED
+    _KERNEL_ENABLED = flag
+
+
 def maybe_quant_decode_attention(q, k_i8, v_i8, mask):
-    """Kernel when eligible (TPU, single-token query), else None."""
+    """Kernel when eligible (enabled + TPU + single-token query), else
+    None (callers fall back to the scale-folded XLA path)."""
     from gstx.kernels import ffn as _ffn
 
-    if not _ffn.is_enabled() or not _ffn._on_tpu():
+    if not _KERNEL_ENABLED or not _ffn.is_enabled() or not _ffn._on_tpu():
         return None
     if q.shape[2] != 1:
         return None

@@ -185,6 +185,28 @@ def make_train_rows_batch(enc_cfg, b=4, rounds=3, seq_len=24, regions=7,
     }
 
 
+def make_gen_batch(enc_cfg, b=4, seq_len=48, regions=7, cap_len=14, seed=3):
+    """Deterministic caption-context batch in the dialog-engine layout
+    (dataloader_cc12m_gen.py:82-92), shared by multi-host generate tests
+    and their subprocess drivers."""
+    rng = np.random.RandomState(seed)
+    ids = np.zeros((b, seq_len), np.int32)
+    segs = np.zeros((b, seq_len), np.int32)
+    ids[:, 0] = 101
+    ids[:, 1:cap_len - 1] = rng.randint(105, enc_cfg.vocab_size,
+                                        size=(b, cap_len - 2))
+    ids[:, cap_len - 1] = 102
+    segs[:, :cap_len] = 1
+    return {
+        "enc_input_ids": ids,
+        "enc_segments": segs,
+        "enc_image_feat": rng.rand(
+            b, regions, enc_cfg.v_feature_size).astype(np.float32),
+        "enc_image_loc": rng.rand(b, regions, 5).astype(np.float32),
+        "enc_image_mask": np.ones((b, regions), np.float32),
+    }
+
+
 def init_tiny_params(enc_cfg, dec_cfg, seq_len=24, regions=7, utt_len=10,
                      seed=0):
     """Deterministic tiny-model params for subprocess-shared tests."""
