@@ -40,7 +40,7 @@ def _process_info():
     return jax.process_index(), jax.process_count()
 
 
-def main(argv=None, max_batches=None):
+def main(argv=None, max_batches=None, stats_out=None):
     config = parse_config(argv, "gstx dialog generation")
     pprint.pprint(config)
     assert config.mode in ("vd_gen_val", "cc12m_gen")
@@ -100,10 +100,26 @@ def main(argv=None, max_batches=None):
     rng = jax.random.PRNGKey(config.seed)
     gen_data = []
     t0 = time.time()
+    roll_state = [t0, 0]  # rolling-window rate (compile amortizes out)
 
     # double-buffered dispatch: batch i+1's rounds launch while batch i's
     # results transfer/decode on the host (JAX async dispatch)
     pending = []
+
+    bf16_upload = config.dtype == "bfloat16"
+    if bf16_upload:
+        import ml_dtypes
+
+    def to_device(k, v):
+        # bf16 engines cast image features/locations to bf16 on device
+        # anyway; casting on the HOST first (same f32->bf16 rounding,
+        # bitwise-identical outputs) halves the dominant per-batch
+        # transfer ([B,37,2048] f32 region features)
+        v = np.asarray(v)
+        if bf16_upload and v.dtype == np.float32 \
+                and k in ("enc_image_feat", "enc_image_loc"):
+            v = v.astype(ml_dtypes.bfloat16)
+        return jnp.asarray(v)
 
     def dispatch(idx, batch):
         nonlocal rng
@@ -111,7 +127,7 @@ def main(argv=None, max_batches=None):
         # partial final batches pad to a data-axis multiple; padded rows
         # (repeats of row 0) are sliced away in consume
         batch, n_valid = pad_batch_rows(batch, dp)
-        dev = {k: jnp.asarray(v) for k, v in batch.items()
+        dev = {k: to_device(k, v) for k, v in batch.items()
                if k != "image_id"}
         out = engine(q_params, a_params, dev, key)
         pending.append((idx, batch, n_valid, out))
@@ -153,9 +169,17 @@ def main(argv=None, max_batches=None):
                 ],
             })
         if idx % 10 == 0:
+            now = time.time()
             done = (idx + 1) * config.batch_size
-            rate = done / (time.time() - t0)
-            print(f"[generate] {done} images, {rate:.1f} img/s")
+            rate = done / (now - t0)
+            roll = ((done - roll_state[1]) / (now - roll_state[0])
+                    if idx else rate)
+            print(f"[generate] {done} images, {rate:.1f} img/s "
+                  f"(last window {roll:.1f})")
+            if idx and stats_out is not None:
+                stats_out.setdefault("windows", []).append(
+                    (done - roll_state[1], now - roll_state[0]))
+            roll_state[0], roll_state[1] = now, done
 
     for idx, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and idx >= max_batches:
