@@ -129,7 +129,12 @@ def main(argv=None, max_batches=None, stats_out=None):
         batch, n_valid = pad_batch_rows(batch, dp)
         dev = {k: to_device(k, v) for k, v in batch.items()
                if k != "image_id"}
-        out = engine(q_params, a_params, dev, key)
+        # the bucketed engine's one-per-batch width decision comes from the
+        # host-side lengths, skipping a device round-trip that would stall
+        # the double-buffered pipeline behind the previous batch's rounds
+        init_max = int(
+            (np.asarray(batch["enc_input_ids"]) != 0).sum(-1).max())
+        out = engine(q_params, a_params, dev, key, init_max=init_max)
         pending.append((idx, batch, n_valid, out))
 
     def drain():

@@ -260,7 +260,12 @@ def make_dialog_engine(
         )
 
     def engine(q_params, a_params, batch, rng,
-               round_fn=None) -> DialogOutput:
+               round_fn=None, init_max=None) -> DialogOutput:
+        """``init_max``: optional host-known maximum initial context length.
+        The bucketed engine needs it once per batch; callers that still
+        hold the numpy batch (cli/generate) can pass it and skip the
+        device round-trip sync that otherwise stalls the dispatch
+        pipeline behind the previous batch's rounds."""
         round_fn = round_fn or jitted_round
         if mesh is not None:
             from gstx.core.mesh import shard_batch, shard_by_path
@@ -288,14 +293,16 @@ def make_dialog_engine(
             enc_len=(batch["enc_input_ids"] != PAD_ID).sum(-1).astype(jnp.int32),
             abnormal=jnp.zeros(batch["enc_input_ids"].shape[0], dtype=bool),
         )
-        init_max = 0
-        if len(buckets) > 1:
+        if len(buckets) <= 1:
+            init_max = 0
+        elif init_max is None:
             # ONE host sync up front; afterwards the bucket schedule is
             # static (worst-case growth per round) so round dispatches
             # pipeline without device->host round-trips.  Identical math:
             # the valid prefix is unchanged, masked tail softmaxes to
             # exactly 0.
             init_max = int(jnp.max(state.enc_len))
+        if len(buckets) > 1:
             start = next((b for b in buckets
                           if b >= min(init_max + growth, full_s)), full_s)
             state = state._replace(

@@ -136,3 +136,22 @@ def test_engine_mesh_option_matrix(tiny_configs, buckets, dynamic, quant):
         tiny_configs, dtype, context_buckets=buckets,
         dynamic_buckets=dynamic, quantize_memory=quant)
     _assert_identical(out_1, out_m)
+
+
+def test_engine_init_max_hint_identity(tiny_configs):
+    """Passing the host-known init_max (cli/generate's pipeline-stall
+    avoidance) must be identical to the engine's own device sync."""
+    model, enc_cfg, dec_cfg = _make_model(tiny_configs, jnp.float32)
+    batch = _synthetic_batch(enc_cfg)
+    q_params = _init_params(model, enc_cfg, seed=0)
+    a_params = _init_params(model, enc_cfg, seed=1)
+    greedy_q = DecodeSettings(max_steps=4, top_k=1, ngram_blocking_size=4)
+    greedy_a = DecodeSettings(max_steps=4, top_k=1, ngram_blocking_size=0)
+    eng = make_dialog_engine(model, dec_cfg, num_rounds=2,
+                             q_settings=greedy_q, a_settings=greedy_a,
+                             context_buckets=(48,))
+    rng = jax.random.PRNGKey(7)
+    o_sync = eng(q_params, a_params, batch, rng)
+    hint = int((np.asarray(batch["enc_input_ids"]) != 0).sum(-1).max())
+    o_hint = eng(q_params, a_params, batch, rng, init_max=hint)
+    _assert_identical(o_sync, o_hint)
