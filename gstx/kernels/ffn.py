@@ -68,11 +68,12 @@ def _round_up(x: int, m: int) -> int:
 #   as7125: A&S 7.1.25, 3-term rational x exp(-x^2); max err 2.5e-5
 #   poly:   odd Chebyshev fit x*P(x^2) deg 10, NO exp / NO divide;
 #           max err 6.7e-5 in f32 Horner (clamped to +-1 at |x|>=3.2)
-# Default: poly — full-engine A/B 12,332 vs 12,233 (as7126) vs 12,250
-# (as7125) tok/s/chip, same session (PERF.md round 3; the +0.8% is at the
-# edge of tunnel variance but the direction matches the VPU-cost ranking,
-# and 6.7e-5 is invisible under the path's 5e-3 bf16 rounding).
-_ERF_IMPL = "poly"
+# Default: as7126 (the most accurate).  Full-engine A/B measured as7126
+# 12,233 / as7125 12,250 / poly 12,332 then a poly REPEAT at 12,125
+# tok/s/chip — the spread does not replicate outside the +-2% tunnel
+# variance, so the erf tail is not a measurable engine cost and the
+# default keeps maximum fidelity (PERF.md round 3).
+_ERF_IMPL = "as7126"
 
 
 def set_erf_impl(name: str):
