@@ -65,8 +65,18 @@ def parse_config(argv=None, description: str = "gstx") -> GSTConfig:
 
 
 def enable_compile_cache():
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.getcwd(), ".jax_cache"))
+    """Persistent compile cache; GSTX_COMPILE_CACHE overrides the location.
+
+    The override exists because CPU AOT artifacts are machine-feature
+    -fingerprinted: a cache dir carried across machines (or across runtime
+    environments that detect CPU features differently) can serve stale
+    artifacts whose load SIGILLs the process (observed: intermittent
+    native crashes in subprocess stages; XLA warns 'machine type used for
+    compilation doesn't match'). Tests point subprocess stages at a fresh
+    per-run directory."""
+    cache = os.environ.get("GSTX_COMPILE_CACHE",
+                           os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 

@@ -96,8 +96,19 @@ def main(argv=None, dry_run=False):
         module, stage_args = stage[0], stage[1:]
         print(f"[selftrain] python -m {module} {' '.join(stage_args)}",
               flush=True)
-        subprocess.run([sys.executable, "-m", module] + stage_args,
-                       check=True)
+        cmd = [sys.executable, "-m", module] + stage_args
+        proc = subprocess.run(cmd)
+        if proc.returncode < 0:
+            # killed by a signal (OOM-killer, transient host pressure) —
+            # a multi-day production loop should survive one infra kill
+            # per stage; every stage is idempotent (checkpoints/JSON are
+            # written atomically), so a clean retry is safe.  Real errors
+            # exit with a positive code and are NOT retried.
+            print(f"[selftrain] stage died with signal {-proc.returncode}; "
+                  "retrying once", flush=True)
+            proc = subprocess.run(cmd)
+        if proc.returncode != 0:
+            raise subprocess.CalledProcessError(proc.returncode, cmd)
     return plan
 
 

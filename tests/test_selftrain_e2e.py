@@ -56,6 +56,12 @@ def test_selftrain_one_iteration_subprocess(tmp_path, monkeypatch):
     # sitecustomize would otherwise grab the TPU tunnel)
     monkeypatch.setenv("GSTX_PLATFORM", "cpu")
     monkeypatch.setenv("GSTX_NUM_CPU_DEVICES", "2")
+    # fresh per-run compile cache for the children: the long-lived repo
+    # cache accumulates CPU AOT artifacts whose machine-feature fingerprint
+    # can mismatch the current host, and loading those intermittently
+    # SIGILLs the stage subprocess (the flake documented in CLAUDE.md)
+    monkeypatch.setenv("GSTX_COMPILE_CACHE",
+                       os.path.join(tmpdir, "jax_cache"))
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     monkeypatch.setenv(
         "PYTHONPATH",
