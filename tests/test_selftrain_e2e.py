@@ -110,3 +110,45 @@ def test_selftrain_one_iteration_subprocess(tmp_path, monkeypatch):
     assert s_leaf.shape == f_leaf.shape
     assert not np.allclose(s_leaf, f_leaf), \
         "finetune did not change the handed-off student parameters"
+
+
+def test_selftrain_stage_retry_on_signal(tmp_path, monkeypatch):
+    """A stage killed by a signal (infra kill / stale-cache SIGILL) is
+    retried once; a stage failing with a positive exit code fails fast."""
+    import subprocess
+    import types
+
+    import pytest as _pytest
+
+    from gstx.cli import selftrain
+
+    calls = []
+
+    def fake_run_signal_once(cmd, **kw):
+        calls.append(list(cmd))
+        rc = -9 if len(calls) == 1 else 0
+        return types.SimpleNamespace(returncode=rc)
+
+    assert selftrain  # main() binds subprocess.run at call time
+    monkeypatch.setattr(subprocess, "run", fake_run_signal_once)
+    base = [
+        "-iterations", "1", "-chunks", "1",
+        "-start_path_q", "q", "-start_path_a", "a",
+        "-cc12m_image_feats", str(tmp_path),
+        "-cc12m_caption_dir", str(tmp_path),
+        "-dialog_root", str(tmp_path), "-save_path", str(tmp_path)]
+    plan = selftrain.main(base)
+    # 3 stages + 1 retry of the first = 4 subprocess invocations
+    assert len(calls) == len(plan) + 1
+    assert calls[0] == calls[1]
+
+    calls.clear()
+
+    def fake_run_error(cmd, **kw):
+        calls.append(list(cmd))
+        return types.SimpleNamespace(returncode=2)
+
+    monkeypatch.setattr(subprocess, "run", fake_run_error)
+    with _pytest.raises(subprocess.CalledProcessError):
+        selftrain.main(base)
+    assert len(calls) == 1  # no retry for real errors
