@@ -127,9 +127,15 @@ def make_generation_mesh(config: GSTConfig):
     local = jax.local_devices()
     if len(local) <= 1:
         return None
-    from gstx.core.mesh import make_mesh
+    from gstx.core.mesh import make_mesh, validate_model_parallel
 
     mp = max(1, config.model_parallel)
+    if mp > 1:
+        validate_model_parallel(config.encoder_config(),
+                                config.decoder_config(), mp)
+        # pallas kernels are opaque to GSPMD; TP must run the jnp path
+        from gstx.kernels import ffn as _pf
+        _pf.set_tensor_parallel(True)
     dp = config.data_parallel
     if dp == -1:
         dp = len(local) // mp

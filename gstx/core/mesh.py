@@ -129,8 +129,7 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 # Parameter-tree path suffixes of the vocab-dimension tensors that tensor-
-# parallelise over the 'model' axis (vocab is the only >=30k dimension in the
-# model; everything else replicates).  The same suffixes appear inside
+# parallelise over the 'model' axis.  The same suffixes appear inside
 # optimizer-state trees (adam mu/nu mirror the param tree), so
 # :func:`shard_by_path` applies to both.
 _VOCAB_ROW_SUFFIXES = (
@@ -142,6 +141,34 @@ _VOCAB_VEC_SUFFIXES = (
     "decoder/lm_bias",                        # [V]
 )
 
+# Megatron-style model parallelism of every transformer matmul (round 3;
+# the round-2 'model' axis covered only the vocab-dim tensors above).
+# Column-parallel: the OUTPUT features shard — QKV / cross-KV projections
+# (per-head slices) and the first FFN matmul (per-intermediate slices);
+# their biases shard with them.  Row-parallel: the INPUT features shard —
+# attention output projections, co-attention BertBiOutput projections and
+# the second FFN matmul consume head-/intermediate-sharded activations and
+# partial-sum over 'model' (GSPMD inserts the all-reduce); their biases
+# stay replicated (added after the reduction).
+_COL_KERNEL_SUFFIXES = (
+    "qkv/kernel",                  # enc self-attn (fused) + dec self-attn
+    "biattention/qkv1/kernel",     # co-attention visual stream
+    "biattention/qkv2/kernel",     # co-attention text stream
+    "cross_q/kernel",              # dec cross-attn query
+    "cross_kv/kernel",             # dec cross-attn fused K/V
+    "intermediate/kernel",         # FFN d1 (enc text/visual, co-attn, dec)
+)
+_COL_BIAS_SUFFIXES = tuple(
+    s.replace("/kernel", "/bias") for s in _COL_KERNEL_SUFFIXES)
+_ROW_KERNEL_SUFFIXES = (
+    "attention/out/kernel",        # enc self-attn output proj
+    "self_out/kernel",             # dec self-attn output proj
+    "cross_out/kernel",            # dec cross-attn output proj
+    "output/kernel",               # FFN d2 (enc + dec; '/out/kernel' differs)
+    "v_dense/kernel",              # BertBiOutput visual proj (bi_hidden in)
+    "t_dense/kernel",              # BertBiOutput text proj (bi_hidden in)
+)
+
 
 def param_partition_spec(path: str) -> P:
     """PartitionSpec for one param-tree path ('a/b/c' joined keys)."""
@@ -149,7 +176,38 @@ def param_partition_spec(path: str) -> P:
         return P(MODEL_AXIS, None)
     if any(path.endswith(s) for s in _VOCAB_VEC_SUFFIXES):
         return P(MODEL_AXIS)
+    if any(path.endswith(s) for s in _COL_KERNEL_SUFFIXES):
+        return P(None, MODEL_AXIS)
+    if any(path.endswith(s) for s in _COL_BIAS_SUFFIXES):
+        return P(MODEL_AXIS)
+    if any(path.endswith(s) for s in _ROW_KERNEL_SUFFIXES):
+        return P(MODEL_AXIS, None)
     return P()
+
+
+def validate_model_parallel(enc_cfg, dec_cfg, model_parallel: int) -> None:
+    """Raise early (with the offending dimension named) when a model-parallel
+    degree cannot shard the transformer cleanly: every attention head count
+    and FFN intermediate size must divide by ``model_parallel`` so the
+    column-parallel projections split on head/feature boundaries."""
+    if model_parallel <= 1:
+        return
+    dims = {
+        "num_attention_heads": enc_cfg.num_attention_heads,
+        "v_num_attention_heads": enc_cfg.v_num_attention_heads,
+        "bi_num_attention_heads": enc_cfg.bi_num_attention_heads,
+        "intermediate_size": enc_cfg.intermediate_size,
+        "v_intermediate_size": enc_cfg.v_intermediate_size,
+    }
+    if dec_cfg is not None:
+        dims["decoder num_attention_heads"] = dec_cfg.num_attention_heads
+        dims["decoder intermediate_size"] = dec_cfg.intermediate_size
+    for name, value in dims.items():
+        if value % model_parallel != 0:
+            raise ValueError(
+                f"model_parallel={model_parallel} does not divide {name}="
+                f"{value}; pick a degree dividing every head count and "
+                f"intermediate size")
 
 
 def shard_by_path(mesh: Mesh, tree):

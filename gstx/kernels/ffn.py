@@ -48,6 +48,20 @@ def is_enabled() -> bool:
     return _ENABLED
 
 
+# Megatron tensor parallelism shards the FFN/projection weights over the
+# 'model' mesh axis (gstx.core.mesh.param_partition_spec); a pallas_call is
+# opaque to the GSPMD partitioner, so running the fused kernels on sharded
+# weights would force all-gathers (or fail to partition).  Mesh-building
+# call sites flip this when model_parallel > 1 and the modules fall back to
+# the jnp path, which GSPMD partitions Megatron-style.
+_TP_ACTIVE = False
+
+
+def set_tensor_parallel(flag: bool):
+    global _TP_ACTIVE
+    _TP_ACTIVE = flag
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -340,7 +354,7 @@ def maybe_fused_ffn(x, w1, b1, w2, b2, gamma, beta, *, eps: float,
                     dropout_rate: float, deterministic: bool, dtype):
     """Return the fused result when eligible, else None (caller falls back
     to the jnp path)."""
-    if not _ENABLED or not _on_tpu():
+    if not _ENABLED or _TP_ACTIVE or not _on_tpu():
         return None
     if not deterministic and dropout_rate > 0.0:
         return None
@@ -358,7 +372,7 @@ def maybe_fused_ffn(x, w1, b1, w2, b2, gamma, beta, *, eps: float,
 def maybe_fused_dense_ln(x, w, b, residual, gamma, beta, *, eps: float,
                          dropout_rate: float, deterministic: bool, dtype):
     """Fused attention-output projection + residual LayerNorm, or None."""
-    if not _ENABLED or not _on_tpu():
+    if not _ENABLED or _TP_ACTIVE or not _on_tpu():
         return None
     if not deterministic and dropout_rate > 0.0:
         return None

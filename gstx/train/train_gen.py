@@ -145,19 +145,27 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
         params, opt_state, start_iter_id = load_start_checkpoint(
             config, params, opt_state)
 
-    from gstx.core.mesh import auto_data_parallel
+    from gstx.core.mesh import auto_data_parallel, validate_model_parallel
 
     n_dev = len(jax.devices())
     dp = config.data_parallel
     if dp == -1:
         dp = auto_data_parallel(config.batch_size,
                                 n_dev // max(1, config.model_parallel))
+    validate_model_parallel(config.encoder_config(), config.decoder_config(),
+                            config.model_parallel)
+    if config.model_parallel > 1:
+        # pallas kernels are opaque to GSPMD; TP must run the jnp path
+        from gstx.kernels import ffn as _pf
+        _pf.set_tensor_parallel(True)
     mesh = make_mesh(dp, config.model_parallel,
                      devices=jax.devices()[: dp * config.model_parallel])
     from gstx.core.mesh import shard_by_path
 
-    # vocab-dim params tensor-parallel over the 'model' axis (identity when
-    # model_parallel == 1); optimizer state mirrors the param layout
+    # Megatron-style tensor parallelism over the 'model' axis — vocab-dim
+    # tensors, per-head QKV/out projections and FFN matmuls shard via
+    # param_partition_spec (identity when model_parallel == 1); optimizer
+    # state mirrors the param layout
     params = shard_by_path(mesh, params)
     opt_state = shard_by_path(mesh, opt_state)
     bsh = batch_sharding(mesh)

@@ -71,9 +71,9 @@ def _init_params(model, enc_cfg, seed):
                       method=GSTVisualDialog.init_all)
 
 
-def _run_pair(tiny_configs, dtype, **engine_kw):
-    """Run the same batch through the single-device and the 8-device-mesh
-    engine; return both outputs."""
+def _run_pair(tiny_configs, dtype, mesh_shape=(8, 1), **engine_kw):
+    """Run the same batch through the single-device and the mesh engine;
+    return both outputs."""
     model, enc_cfg, dec_cfg = _make_model(tiny_configs, dtype)
     batch = _synthetic_batch(enc_cfg)
     q_params = _init_params(model, enc_cfg, seed=0)
@@ -84,8 +84,7 @@ def _run_pair(tiny_configs, dtype, **engine_kw):
     kw = dict(num_rounds=3, q_settings=greedy_q, a_settings=greedy_a,
               dtype=dtype, **engine_kw)
     single = make_dialog_engine(model, dec_cfg, **kw)
-    mesh = make_mesh(8, 1)
-    assert mesh.shape["data"] == 8
+    mesh = make_mesh(*mesh_shape)
     meshed = make_dialog_engine(model, dec_cfg, mesh=mesh, **kw)
 
     rng = jax.random.PRNGKey(7)
@@ -136,6 +135,18 @@ def test_engine_mesh_option_matrix(tiny_configs, buckets, dynamic, quant):
         tiny_configs, dtype, context_buckets=buckets,
         dynamic_buckets=dynamic, quantize_memory=quant)
     _assert_identical(out_1, out_m)
+
+
+@pytest.mark.slow
+def test_engine_mesh_tensor_parallel_identity(tiny_configs):
+    """(4 data x 2 model) engine == single device: the round-3 Megatron
+    sharding (per-head QKV/out, FFN, co-attention, cross-attention weights
+    over the 'model' axis — gstx.core.mesh.param_partition_spec) stays
+    semantics-preserving through the full round program, encoder forwards
+    and KV-cached while_loop decode included."""
+    out_1, out_m = _run_pair(tiny_configs, jnp.float32, mesh_shape=(4, 2))
+    _assert_identical(out_1, out_m)
+    assert len(out_m.questions.sharding.device_set) == 8
 
 
 def test_engine_init_max_hint_identity(tiny_configs):

@@ -111,10 +111,90 @@ def test_lm_head_matmul_is_partitioned(tp_setup):
 
 
 def test_param_partition_spec_paths():
+    # vocab-dimension tensors (round 2)
     assert param_partition_spec(
         "encoder/embeddings/word_embeddings/embedding") == P(MODEL_AXIS, None)
     assert param_partition_spec("decoder/lm_weight") == P(MODEL_AXIS, None)
     assert param_partition_spec("cls/mlm_bias") == P(MODEL_AXIS)
     assert param_partition_spec("decoder/lm_bias") == P(MODEL_AXIS)
-    assert param_partition_spec("encoder/encoder/layer_0/attention/qkv/kernel"
-                                ) == P()
+    # Megatron-style transformer sharding (round 3): column-parallel
+    # projections shard their OUTPUT features (+ biases) ...
+    col = P(None, MODEL_AXIS)
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/attention/qkv/kernel") == col
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/attention/qkv/bias") == P(MODEL_AXIS)
+    assert param_partition_spec("decoder/layer_1/qkv/kernel") == col
+    assert param_partition_spec("decoder/layer_1/cross_q/kernel") == col
+    assert param_partition_spec("decoder/layer_1/cross_kv/kernel") == col
+    assert param_partition_spec(
+        "encoder/encoder/c_layer_0/biattention/qkv1/kernel") == col
+    assert param_partition_spec(
+        "encoder/encoder/c_layer_0/biattention/qkv2/kernel") == col
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/ffn/intermediate/kernel") == col
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/ffn/intermediate/bias") == P(MODEL_AXIS)
+    # ... row-parallel projections shard their INPUT features, biases
+    # replicate (added after the GSPMD-inserted all-reduce)
+    row = P(MODEL_AXIS, None)
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/attention/out/kernel") == row
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/attention/out/bias") == P()
+    assert param_partition_spec("decoder/layer_0/self_out/kernel") == row
+    assert param_partition_spec("decoder/layer_0/cross_out/kernel") == row
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/ffn/output/kernel") == row
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/ffn/output/bias") == P()
+    assert param_partition_spec(
+        "encoder/encoder/c_layer_0/v_dense/kernel") == row
+    assert param_partition_spec(
+        "encoder/encoder/c_layer_0/t_dense/kernel") == row
+    # everything else replicates
+    assert param_partition_spec(
+        "encoder/encoder/layer_0/attention/out_ln/scale") == P()
+    assert param_partition_spec("encoder/t_pooler/dense/kernel") == P()
+    assert param_partition_spec("fusion_fc_l/kernel") == P()
+
+
+def test_ffn_and_qkv_matmuls_are_partitioned(tp_setup):
+    """Compiled TP=2 train-step HLO must consume the per-layer transformer
+    weights at their LOCAL shapes — proof the Megatron sharding survives
+    GSPMD propagation instead of being all-gathered back."""
+    enc_cfg, dec_cfg, params, batch = tp_setup
+    (loss, _, mesh, model, optimizer, _, _,
+     dev_batch) = _run_one_step(enc_cfg, dec_cfg, params, batch, 2, 2)
+    sh_params = shard_by_path(mesh, params)
+    opt_state = shard_by_path(mesh, optimizer.init(sh_params))
+    step_fn = make_train_step(model, optimizer, batch_size=4)
+    with mesh:
+        compiled = step_fn.lower(sh_params, opt_state, dev_batch,
+                                 jax.random.PRNGKey(7)).compile()
+    txt = compiled.as_text()
+    d = enc_cfg.hidden_size
+    f = enc_cfg.intermediate_size
+    # FFN d1 column-parallel [D, F/2]; d2 row-parallel [F/2, D]
+    assert f"[{d},{f // 2}]" in txt, "FFN d1 not at local column shape"
+    assert f"[{f // 2},{d}]" in txt, "FFN d2 not at local row shape"
+    # fused QKV column-parallel [D, 3D/2]
+    assert f"[{d},{3 * d // 2}]" in txt, "QKV not at local column shape"
+    # the full-shape FFN weight must not be rematerialized anywhere
+    assert f"[{d},{f}]" not in txt, "full-shape FFN d1 present in HLO"
+
+
+def test_validate_model_parallel():
+    from gstx.core.mesh import validate_model_parallel
+
+    from gstx.core.config import DecoderConfig, EncoderConfig
+
+    enc = EncoderConfig(num_attention_heads=12, v_num_attention_heads=8,
+                        bi_num_attention_heads=8, intermediate_size=3072,
+                        v_intermediate_size=4096)
+    dec = DecoderConfig(num_attention_heads=12, intermediate_size=3072)
+    validate_model_parallel(enc, dec, 1)
+    validate_model_parallel(enc, dec, 2)
+    validate_model_parallel(enc, dec, 4)
+    with pytest.raises(ValueError, match="v_num_attention_heads"):
+        validate_model_parallel(enc, dec, 3)  # 8 visual heads % 3 != 0
