@@ -83,10 +83,22 @@ def main(argv=None, max_batches=None):
                 return
             yield b
 
+    import jax
+
+    mesh = None
+    if config.data_parallel != 1 and len(jax.devices()) > 1:
+        # the SPMD stand-in for the reference's DataParallel wrap
+        # (evaluate_gen_attack.py:410): candidate chunks shard over 'data'
+        from gstx.core.mesh import auto_data_parallel, make_mesh
+
+        dp = config.data_parallel
+        if dp == -1:
+            dp = auto_data_parallel(config.num_options)
+        mesh = make_mesh(dp, 1, devices=jax.devices()[:dp])
     return evaluate_attack(
         model, params, batches(), config,
         coref_dependency=coref_dependency, text_attack=text_attack,
-        chunk_size=config.num_options, logger=logger)
+        chunk_size=config.num_options, logger=logger, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -14,7 +14,6 @@ import pprint
 import time
 
 import jax
-import jax.numpy as jnp
 
 from gstx.cli.common import (
     apply_runtime_flags,
@@ -59,19 +58,48 @@ def main(argv=None, max_steps=None):
     else:
         params = init_params(model, config, config.seed)
 
+    # SPMD mesh: the reference wraps the disc encoder in nn.DataParallel
+    # (train_disc.py:251); gstx shards batch over 'data' and, with
+    # -model_parallel > 1, the transformer matmuls Megatron-style over
+    # 'model' (gstx.core.mesh.param_partition_spec)
+    from gstx.core.mesh import (auto_data_parallel, make_global_batch,
+                                make_mesh, shard_by_path,
+                                validate_model_parallel)
+
+    n_dev = len(jax.devices())
+    mp = max(1, config.model_parallel)
+    dp = config.data_parallel
+    if dp == -1:
+        dp = auto_data_parallel(config.batch_size, n_dev // mp)
+    validate_model_parallel(config.encoder_config(), None, mp)
+    if mp > 1:
+        # pallas kernels are opaque to GSPMD; TP must run the jnp path
+        from gstx.kernels import ffn as _pf
+        _pf.set_tensor_parallel(True)
+    mesh = make_mesh(dp, mp, devices=jax.devices()[: dp * mp])
+    model = model.clone(mesh=mesh)
+
     optimizer = make_optimizer(config.lr, config.image_lr,
                                DISC_WARMUP_STEPS, t_total, config.min_lr)
-    opt_state = optimizer.init(params)
+    params = shard_by_path(mesh, params)
+    opt_state = shard_by_path(mesh, optimizer.init(params))
     step_fn = make_disc_train_step(model, optimizer, config)
 
-    loader = DataLoader(dataset, batch_size=config.batch_size, shuffle=True,
-                        num_workers=config.num_workers, seed=config.seed)
+    # multi-host: each host loads its stripe of the identically-shuffled
+    # global order; local stripes assemble into globally-sharded arrays
+    n_proc = jax.process_count()
+    local_bs = config.batch_size // n_proc if n_proc > 1 else \
+        config.batch_size
+    loader = DataLoader(dataset, batch_size=local_bs, shuffle=True,
+                        num_workers=config.num_workers, seed=config.seed,
+                        process_index=jax.process_index(),
+                        process_count=n_proc)
     rng = jax.random.PRNGKey(config.seed)
     start_t = time.time()
     for epoch_id, idx, batch in batch_iter(loader, config.num_epochs):
         iter_id = idx + epoch_id * num_iter_epoch
         rng, key = jax.random.split(rng)
-        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        dev_batch = make_global_batch(mesh, batch)
         params, opt_state, metrics = step_fn(params, opt_state, dev_batch,
                                              key)
         if iter_id % config.log_every == 0:

@@ -140,6 +140,15 @@ def make_dialog_engine(
     schedules coincide.  Outputs are identical either way (bucket width
     never changes the math, only the compile shape).
     """
+    if mesh is not None:
+        from gstx.core.mesh import MODEL_AXIS
+
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            # pallas kernels are opaque to GSPMD: with Megatron-sharded
+            # weights they would force all-gathers; the jnp path partitions
+            from gstx.kernels import ffn as _pf
+
+            _pf.set_tensor_parallel(True)
 
     def decode_utterance(params, state, image, rng, settings, ngram_source):
         batch = state.enc_input_ids.shape[0]

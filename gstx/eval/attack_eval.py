@@ -45,12 +45,28 @@ def evaluate_attack(
     epsilon: float = 1.0,
     chunk_size: int = 100,
     logger=None,
+    mesh=None,
 ) -> Dict:
+    """With ``mesh``, each round's candidate chunk shards over the data
+    axis — the SPMD stand-in for the reference's DataParallel wrap
+    (evaluate_gen_attack.py:410).  Chunks pad to the data-axis multiple
+    with repeated rows (gt_relevance 0 for FGSM, so padded rows take no
+    perturbation) and the padded scores are sliced away."""
     sparse = SparseGTMetrics()
     ndcg = NDCG()
-    score_chunk = make_chunk_scorer(model)
-    fgsm_chunk = make_fgsm_scorer(model, epsilon) \
+    score_chunk = make_chunk_scorer(model, mesh=mesh)
+    fgsm_chunk = make_fgsm_scorer(model, epsilon, mesh=mesh) \
         if config.attack == "fgsm" else None
+    dp = mesh.shape["data"] if mesh is not None else 1
+    # device chunk keys: enc_sep_indices stays host-side (it only feeds the
+    # dialog-round computation) and must not hit the sharded scorers
+    dev_keys = ("enc_input_ids", "enc_segments", "enc_att_mask",
+                "dec_input_ids", "dec_att_mask", "enc_image_feat",
+                "enc_image_loc", "enc_image_mask")
+
+    def pad_rows(v, n_pad):
+        return np.concatenate([v, np.repeat(v[:1], n_pad, axis=0)]) \
+            if n_pad else v
 
     batch_idx = 0
     for batch in loader:
@@ -80,10 +96,16 @@ def evaluate_attack(
             dialog_round = int((chunk["enc_sep_indices"][0] != 0).sum() // 2)
             is_dense_round = dialog_round == round_id
 
+            n_pad = (-options) % dp
             if config.attack == "fgsm" and is_dense_round:
                 scores = np.asarray(fgsm_chunk(
-                    params, {k: jnp.asarray(v) for k, v in chunk.items()},
-                    jnp.asarray(gt_relevance)))
+                    params,
+                    {k: jnp.asarray(pad_rows(np.asarray(chunk[k]), n_pad))
+                     for k in dev_keys},
+                    jnp.asarray(np.concatenate(
+                        [gt_relevance, np.zeros(n_pad,
+                                                gt_relevance.dtype)]))))[
+                    :options]
             else:
                 if config.attack == "coreference" and is_dense_round \
                         and text_attack is not None:
@@ -107,7 +129,9 @@ def evaluate_attack(
                         chunk["enc_input_ids"], chunk["enc_segments"],
                         chunk["enc_att_mask"], image)
                 scores = np.asarray(score_chunk(
-                    params, {k: jnp.asarray(v) for k, v in chunk.items()}))
+                    params,
+                    {k: jnp.asarray(pad_rows(np.asarray(chunk[k]), n_pad))
+                     for k in dev_keys}))[:options]
             out.append(scores)
 
         scores = np.concatenate(out).reshape(1, rounds, options)

@@ -39,11 +39,32 @@ from gstx.models.encdec import (
 )
 
 
-def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0):
+def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0,
+                     mesh=None):
     """Returns jitted ``fgsm_scores(params, chunk, gt_relevance)`` ->
     candidate log-likelihood scores after the FGSM perturbation of the image
-    features (evaluate_gen_attack.py:101-148)."""
+    features (evaluate_gen_attack.py:101-148).
+
+    With ``mesh``, candidate rows shard over the data axis (the SPMD
+    equivalent of the reference's DataParallel wrap,
+    evaluate_gen_attack.py:410); the per-row FGSM gradient partitions with
+    them.  Padded rows must carry ``gt_relevance == 0``: their gradient is
+    exactly zero, so ``sign(0) == 0`` leaves them unperturbed."""
     from gstx.models.encdec import candidate_log_likelihood
+
+    in_shardings = None
+    if mesh is not None:
+        from gstx.core.mesh import batch_sharding, replicated
+
+        in_shardings = (replicated(mesh),
+                        jax.tree_util.tree_map(
+                            lambda _: batch_sharding(mesh), {
+                                k: 0 for k in (
+                                    "enc_input_ids", "enc_segments",
+                                    "enc_att_mask", "dec_input_ids",
+                                    "dec_att_mask", "enc_image_feat",
+                                    "enc_image_loc", "enc_image_mask")}),
+                        batch_sharding(mesh))
 
     def nll_loss(image_feat, params, chunk, gt_relevance):
         dec_ids = chunk["dec_input_ids"]
@@ -58,7 +79,6 @@ def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0):
         per_sample = nll.mean(-1)  # mean over all positions (ref :127)
         return jnp.sum(per_sample * gt_relevance)
 
-    @jax.jit
     def fgsm_scores(params, chunk, gt_relevance):
         grad = jax.grad(nll_loss)(chunk["enc_image_feat"], params, chunk,
                                   gt_relevance)
@@ -73,7 +93,9 @@ def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0):
             method=GSTVisualDialog.score)
         return candidate_log_likelihood(logits, dec_ids)
 
-    return fgsm_scores
+    if in_shardings is not None:
+        return jax.jit(fgsm_scores, in_shardings=in_shardings)
+    return jax.jit(fgsm_scores)
 
 
 class TextAttack:

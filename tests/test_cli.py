@@ -136,6 +136,23 @@ def test_cli_attack_fgsm(cli_env):
 
 
 @pytest.mark.slow
+def test_cli_attack_fgsm_mesh_identity(cli_env):
+    """DP-meshed attack eval (reference evaluate_gen_attack.py:410
+    DataParallel) == single-device, including the chunk-padding path
+    (dp=4 does not divide the 10-candidate chunks)."""
+    from gstx.cli.evaluate_gen_attack import main
+
+    args, cfg, ckpt = cli_env
+    base = ["-mode", "vd_eval_val", "-attack", "fgsm", "-start_path", ckpt]
+    single = main(args + base + ["-data_parallel", "1"], max_batches=2)
+    meshed = main(args + base + ["-data_parallel", "4"], max_batches=2)
+    assert set(single) == set(meshed)
+    for k, v in single.items():
+        np.testing.assert_allclose(meshed[k], v, rtol=1e-5, atol=1e-7,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
 def test_cli_attack_random_token(cli_env):
     from gstx.cli.evaluate_gen_attack import main
 
