@@ -10,7 +10,6 @@ import json
 import os
 import pprint
 
-import jax
 
 from gstx.cli.common import (
     apply_runtime_flags,
@@ -54,14 +53,11 @@ def main(argv=None, max_batches=None, chunk_size=500):
                 return
             yield b
 
-    mesh = None
-    if config.data_parallel != 1 and len(jax.devices()) > 1:
-        from gstx.core.mesh import auto_data_parallel, make_mesh
+    # ('data','model') mesh: chunks shard over 'data' (chunk padding makes
+    # any dp work), -model_parallel > 1 places params Megatron-TP
+    from gstx.cli.common import make_generation_mesh
 
-        dp = config.data_parallel
-        if dp == -1:
-            dp = auto_data_parallel(chunk_size)
-        mesh = make_mesh(dp, 1, devices=jax.devices()[:dp])
+    mesh = make_generation_mesh(config)
     result = evaluate_gen(model, params, batches(), mode=config.mode,
                           vd_version=config.vd_version,
                           chunk_size=chunk_size, logger=logger, mesh=mesh)

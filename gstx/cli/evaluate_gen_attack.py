@@ -83,18 +83,12 @@ def main(argv=None, max_batches=None):
                 return
             yield b
 
-    import jax
+    # the SPMD stand-in for the reference's DataParallel wrap
+    # (evaluate_gen_attack.py:410): candidate chunks shard over 'data',
+    # -model_parallel > 1 places params Megatron-TP
+    from gstx.cli.common import make_generation_mesh
 
-    mesh = None
-    if config.data_parallel != 1 and len(jax.devices()) > 1:
-        # the SPMD stand-in for the reference's DataParallel wrap
-        # (evaluate_gen_attack.py:410): candidate chunks shard over 'data'
-        from gstx.core.mesh import auto_data_parallel, make_mesh
-
-        dp = config.data_parallel
-        if dp == -1:
-            dp = auto_data_parallel(config.num_options)
-        mesh = make_mesh(dp, 1, devices=jax.devices()[:dp])
+    mesh = make_generation_mesh(config)
     return evaluate_attack(
         model, params, batches(), config,
         coref_dependency=coref_dependency, text_attack=text_attack,

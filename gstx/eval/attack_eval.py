@@ -54,6 +54,12 @@ def evaluate_attack(
     perturbation) and the padded scores are sliced away."""
     sparse = SparseGTMetrics()
     ndcg = NDCG()
+    if mesh is not None:
+        from gstx.core.mesh import MODEL_AXIS, shard_by_path
+
+        params = shard_by_path(mesh, params)
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            model = model.clone(mesh=mesh)
     score_chunk = make_chunk_scorer(model, mesh=mesh)
     fgsm_chunk = make_fgsm_scorer(model, epsilon, mesh=mesh) \
         if config.attack == "fgsm" else None

@@ -54,9 +54,11 @@ def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0,
 
     in_shardings = None
     if mesh is not None:
-        from gstx.core.mesh import batch_sharding, replicated
+        from gstx.core.mesh import batch_sharding
 
-        in_shardings = (replicated(mesh),
+        # params entry None: inherit the committed (possibly Megatron-TP)
+        # leaf shardings instead of force-replicating
+        in_shardings = (None,
                         jax.tree_util.tree_map(
                             lambda _: batch_sharding(mesh), {
                                 k: 0 for k in (

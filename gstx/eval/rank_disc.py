@@ -22,11 +22,13 @@ from gstx.models.encdec import GSTVisualDialog
 def make_nsp_scorer(model: GSTVisualDialog, mesh=None):
     in_shardings = None
     if mesh is not None:
-        from gstx.core.mesh import batch_sharding, replicated
+        from gstx.core.mesh import batch_sharding
 
         keys = ("tokens", "segments", "sep_indices", "att_mask",
                 "image_feat", "image_loc", "image_mask")
-        in_shardings = (replicated(mesh),
+        # params entry None: inherit the committed (possibly Megatron-TP)
+        # leaf shardings instead of force-replicating
+        in_shardings = (None,
                         {k: batch_sharding(mesh) for k in keys})
 
     def score_chunk(params, chunk):
@@ -59,6 +61,12 @@ def evaluate_disc(
     sparse = SparseGTMetrics()
     ndcg = NDCG()
     ranks_json: List[dict] = []
+    if mesh is not None:
+        from gstx.core.mesh import MODEL_AXIS, shard_by_path
+
+        params = shard_by_path(mesh, params)
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            model = model.clone(mesh=mesh)
     score_chunk = make_nsp_scorer(model, mesh=mesh)
 
     for batch in loader:

@@ -33,9 +33,12 @@ def make_chunk_scorer(model: GSTVisualDialog, mesh=None):
 
     in_shardings = None
     if mesh is not None:
-        from gstx.core.mesh import batch_sharding, replicated
+        from gstx.core.mesh import batch_sharding
 
-        in_shardings = (replicated(mesh),
+        # params entry None: inherit each leaf's committed sharding, so a
+        # shard_by_path-placed tree keeps its Megatron-TP layout (callers
+        # with a mesh commit params first) instead of being force-replicated
+        in_shardings = (None,
                         jax.tree_util.tree_map(
                             lambda _: batch_sharding(mesh), {
                                 k: 0 for k in (
@@ -73,10 +76,18 @@ def evaluate_gen(
 ) -> Dict:
     """Run the full generative evaluation.  ``loader`` yields collated eval
     batches (VisdialGenDataset vd_eval_val / vd_eval_test items).  With
-    ``mesh``, chunks shard over the data axis (multi-chip DP eval)."""
+    ``mesh``, chunks shard over the data axis (multi-chip DP eval) and,
+    when the mesh has a >1 'model' axis, params place Megatron-TP via
+    shard_by_path with the vocab matmuls constraint-partitioned."""
     sparse = SparseGTMetrics()
     ndcg = NDCG()
     ranks_json: List[dict] = []
+    if mesh is not None:
+        from gstx.core.mesh import MODEL_AXIS, shard_by_path
+
+        params = shard_by_path(mesh, params)
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            model = model.clone(mesh=mesh)
     score_chunk = make_chunk_scorer(model, mesh=mesh)
 
     for batch in loader:

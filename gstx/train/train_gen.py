@@ -54,9 +54,17 @@ def select_rows(batch: Dict[str, jnp.ndarray], sample_indices: jnp.ndarray,
     return out
 
 
-def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int):
+def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int,
+                    batch_multiply: int = 1):
     """Jitted SPMD train step: (params, opt_state, batch, rng) ->
-    (params, opt_state, metrics)."""
+    (params, opt_state, metrics).
+
+    ``batch_multiply`` > 1 is gradient accumulation: the step runs that
+    many independently-sampled ``batch_size``-row micro-batches through a
+    ``lax.scan`` (one live activation set at a time — effective batch
+    grows without growing the HBM watermark) and applies ONE optimizer
+    update on the averaged gradients.  The reference declares the flag but
+    never implements it (options.py:64); gstx makes it functional."""
 
     def loss_fn(params, rows, rng):
         logits = model.apply(
@@ -70,22 +78,38 @@ def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int):
             method=GSTVisualDialog.score)
         return teacher_forced_loss(logits, rows["dec_labels"])
 
+    def micro_grads(params, batch, logw, rng):
+        rng_sample, rng_dropout = jax.random.split(rng)
+        # multinomial with replacement over candidate rows
+        # (train_gen.py:67-68)
+        sample_indices = jax.random.categorical(
+            rng_sample, logw[None, :], shape=(batch_size,))
+        rows = select_rows(batch, sample_indices, train=True)
+        return jax.value_and_grad(loss_fn)(params, rows, rng_dropout)
+
     # donate params/opt_state: each step consumes them, halving the
     # HBM watermark and letting async-dispatched step chains reuse
     # buffers instead of accumulating live copies
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
-        rng_sample, rng_dropout = jax.random.split(rng)
         dec_labels = batch["dec_labels"]
         flat_labels = dec_labels.reshape(-1, dec_labels.shape[-1])
         cand = (flat_labels.sum(-1) != 0).astype(jnp.float32)
-        # multinomial with replacement over candidate rows
-        # (train_gen.py:67-68)
         logw = jnp.log(jnp.maximum(cand, 1e-9))
-        sample_indices = jax.random.categorical(
-            rng_sample, logw[None, :], shape=(batch_size,))
-        rows = select_rows(batch, sample_indices, train=True)
-        loss, grads = jax.value_and_grad(loss_fn)(params, rows, rng_dropout)
+        if batch_multiply <= 1:
+            loss, grads = micro_grads(params, batch, logw, rng)
+        else:
+            def body(acc, micro_rng):
+                mloss, mgrads = micro_grads(params, batch, logw, micro_rng)
+                acc = jax.tree_util.tree_map(jnp.add, acc, mgrads)
+                return acc, mloss
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, losses = jax.lax.scan(
+                body, zeros, jax.random.split(rng, batch_multiply))
+            grads = jax.tree_util.tree_map(
+                lambda g: g / batch_multiply, grads)
+            loss = losses.mean()
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"lm_loss": loss}
@@ -171,7 +195,8 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
     bsh = batch_sharding(mesh)
 
     model = model.clone(mesh=mesh)
-    step_fn = make_train_step(model, optimizer, config.batch_size)
+    step_fn = make_train_step(model, optimizer, config.batch_size,
+                              config.batch_multiply)
     # multi-host: each host loads its stripe of the identically-shuffled
     # global order; local stripes assemble into globally-sharded arrays
     n_proc = jax.process_count()

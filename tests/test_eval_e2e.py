@@ -108,3 +108,39 @@ def test_disc_eval_sharded_over_mesh(env):
     for k in single:
         np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
                                    atol=1e-5, err_msg=k)
+
+
+@pytest.mark.slow
+def test_generative_eval_tensor_parallel(env):
+    """(4 data x 2 model) evaluation == single-device: params place
+    Megatron-TP via shard_by_path inside evaluate_gen and the candidate
+    chunks shard over 'data' simultaneously."""
+    from gstx.core.mesh import make_mesh
+
+    cfg, tok, model, params = env
+    ds = VisdialGenDataset(cfg, tok, mode="vd_eval_val")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    single = evaluate_gen(model, params, dl.epoch(0), mode="vd_eval_val",
+                          chunk_size=40)
+    tp = evaluate_gen(model, params, dl.epoch(0), mode="vd_eval_val",
+                      chunk_size=40, mesh=make_mesh(4, 2))
+    for k in single:
+        np.testing.assert_allclose(tp[k], single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+
+
+@pytest.mark.slow
+def test_disc_eval_tensor_parallel(env):
+    """(4 data x 2 model) NSP-ranking evaluation == single-device."""
+    from gstx.core.mesh import make_mesh
+
+    cfg, tok, model, params = env
+    ds = VisdialDiscDataset(cfg, tok, mode="vd_eval_val")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    single = evaluate_disc(model, params, dl.epoch(0), mode="vd_eval_val",
+                           chunk_size=50)
+    tp = evaluate_disc(model, params, dl.epoch(0), mode="vd_eval_val",
+                       chunk_size=50, mesh=make_mesh(4, 2))
+    for k in single:
+        np.testing.assert_allclose(tp[k], single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)

@@ -53,7 +53,7 @@ global_batch = make_train_rows_batch(enc_cfg, b=4)
 stripe = process_shard(4)            # this host's rows of the global batch
 local = {{k: v[stripe] for k, v in global_batch.items()}}
 
-mesh = make_mesh(4, 1)
+mesh = make_mesh({dp}, {mp})
 model = GSTVisualDialog(enc_cfg, dec_cfg, mesh=mesh)
 params = shard_by_path(mesh, init_tiny_params(enc_cfg, dec_cfg))
 optimizer = make_optimizer(1e-4, 1e-4, 10, 1000)
@@ -77,7 +77,14 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_distributed_train_step(tmp_path):
+@pytest.mark.parametrize("dp,mp", [(4, 1), (2, 2)],
+                         ids=["dp4", "dp2xtp2"])
+def test_two_process_distributed_train_step(tmp_path, dp, mp):
+    """(4,1): pure cross-host DP.  (2,2): Megatron TP pairs WITHIN each
+    host (the global device order [p0d0,p0d1,p1d0,p1d1] reshapes so the
+    'model' axis stays host-local — ICI-analogue — while 'data' crosses
+    hosts), proving the round-3 transformer sharding survives
+    jax.distributed."""
     coord = f"localhost:{_free_port()}"
     script = tmp_path / "child.py"
     # fresh per-run compile cache: the shared repo cache can hold AOT
@@ -86,7 +93,7 @@ def test_two_process_distributed_train_step(tmp_path):
     # context-init rendezvous deadline (observed)
     script.write_text(CHILD.format(
         repo=REPO_ROOT, tests=TESTS_DIR, coord=coord,
-        cache=str(tmp_path / "jax_cache")))
+        cache=str(tmp_path / "jax_cache"), dp=dp, mp=mp))
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
@@ -126,7 +133,7 @@ def test_two_process_distributed_train_step(tmp_path):
     perm = np.concatenate([process_shard(4, i, 2) for i in range(2)])
     permuted = {k: v[perm] for k, v in global_batch.items()}
 
-    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    mesh = make_mesh(dp, mp, devices=jax.devices()[:4])
     model = GSTVisualDialog(enc_cfg, dec_cfg, mesh=mesh)
     params = shard_by_path(mesh, init_tiny_params(enc_cfg, dec_cfg))
     optimizer = make_optimizer(1e-4, 1e-4, 10, 1000)

@@ -132,6 +132,68 @@ def test_gen_train_step_decreases_loss(train_env):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
+def test_batch_multiply_accumulates_gradients(train_env):
+    """-batch_multiply N = gradient accumulation: the jitted step must
+    equal N manual micro-steps (same per-micro rng split and row sampling)
+    averaged into ONE optimizer update.  The reference declares the flag
+    but never implements it (options.py:64)."""
+    import optax
+
+    cfg, tok, model, params = train_env
+    ds = VisdialGenDataset(cfg, tok, mode="vd_train")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = {k: jnp.asarray(v) for k, v in next(dl.epoch(0)).items()}
+    optimizer = make_optimizer(cfg.lr, cfg.image_lr, cfg.warmup_steps, 1000,
+                               cfg.min_lr)
+    rng = jax.random.PRNGKey(21)
+
+    step2 = make_train_step(model, optimizer, cfg.batch_size,
+                            batch_multiply=2)
+    p2, _, m2 = step2(jax.device_put(params), optimizer.init(params), batch,
+                      rng)
+
+    # manual reference: two bm=1-style micro gradients, averaged
+    from gstx.models.encdec import GSTVisualDialog, teacher_forced_loss
+
+    def loss_fn(p, rows, drop_rng):
+        logits = model.apply(
+            p, rows["enc_input_ids"], rows["enc_image_feat"],
+            rows["enc_image_loc"], rows["enc_segments"],
+            rows["enc_att_mask"], rows["enc_image_mask"],
+            rows["dec_input_ids"], rows["dec_att_mask"],
+            deterministic=False, rngs={"dropout": drop_rng},
+            method=GSTVisualDialog.score)
+        return teacher_forced_loss(logits, rows["dec_labels"])
+
+    flat_labels = batch["dec_labels"].reshape(
+        -1, batch["dec_labels"].shape[-1])
+    logw = jnp.log(jnp.maximum(
+        (flat_labels.sum(-1) != 0).astype(jnp.float32), 1e-9))
+    losses, grads = [], []
+    for micro_rng in jax.random.split(rng, 2):
+        rng_sample, rng_dropout = jax.random.split(micro_rng)
+        idx = jax.random.categorical(rng_sample, logw[None, :],
+                                     shape=(cfg.batch_size,))
+        rows = select_rows(batch, idx, train=True)
+        loss, g = jax.value_and_grad(loss_fn)(params, rows, rng_dropout)
+        losses.append(loss)
+        grads.append(g)
+    avg = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+    updates, _ = optimizer.update(avg, optimizer.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(m2["lm_loss"]),
+                               float((losses[0] + losses[1]) / 2), rtol=1e-6)
+    flat_ref = {p: l for p, l in
+                jax.tree_util.tree_leaves_with_path(jax.device_get(p_ref))}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            jax.device_get(p2)):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_ref[path]),
+            rtol=1e-6, atol=1e-7, err_msg=jax.tree_util.keystr(path))
+
+
 def test_select_rows_semantics(train_env):
     cfg, tok, model, params = train_env
     ds = VisdialGenDataset(cfg, tok, mode="vd_train")
