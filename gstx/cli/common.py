@@ -14,6 +14,9 @@ import jax.numpy as jnp
 from gstx.core import checkpoint as ckpt_lib
 from gstx.core.config import DecoderConfig, EncoderConfig, GSTConfig, \
     add_config_args, config_from_args
+# re-exported for the CLIs; the implementation lives with the other mesh
+# utilities (shared by the eval chunk loops)
+from gstx.core.mesh import pad_batch_rows  # noqa: F401
 from gstx.data.tokenizer import BertTokenizer
 from gstx.models.encdec import GSTVisualDialog
 
@@ -112,16 +115,18 @@ def build_model(config: GSTConfig, use_decoder: bool = True,
     return model, enc_cfg, dec_cfg
 
 
-def make_generation_mesh(config: GSTConfig):
-    """Device mesh for the generation/inference CLIs — the SPMD stand-in for
-    the reference's DataParallel wrap (generate.py:67,77, inference.py:64).
+def make_generation_mesh(config: GSTConfig, enc_only: bool = False):
+    """Device mesh for the generation/eval/inference CLIs — the SPMD
+    stand-in for the reference's DataParallel wrap (generate.py:67,77,
+    evaluate_gen.py:181, evaluate_disc.py:167, evaluate_gen_attack.py:410,
+    inference.py:64).
 
-    Local-devices only: synthetic dialog generation is embarrassingly
-    parallel over images, so multi-host runs stripe the DATASET per process
-    (DataLoader process_index/process_count) and each host drives its own
-    local mesh — no cross-host collectives, DCN stays idle.  Returns None
-    when a single device is available or -data_parallel 1 forces it off.
-    """
+    Local-devices only: generation/eval is embarrassingly parallel over
+    images, so multi-host runs stripe the DATASET per process (DataLoader
+    process_index/process_count) and each host drives its own local mesh —
+    no cross-host collectives, DCN stays idle.  Returns None when a single
+    device is available or -data_parallel 1 forces it off.  ``enc_only``
+    skips decoder-dimension validation (discriminative evaluator)."""
     if config.data_parallel == 1 and config.model_parallel <= 1:
         return None
     local = jax.local_devices()
@@ -131,11 +136,9 @@ def make_generation_mesh(config: GSTConfig):
 
     mp = max(1, config.model_parallel)
     if mp > 1:
-        validate_model_parallel(config.encoder_config(),
-                                config.decoder_config(), mp)
-        # pallas kernels are opaque to GSPMD; TP must run the jnp path
-        from gstx.kernels import ffn as _pf
-        _pf.set_tensor_parallel(True)
+        validate_model_parallel(
+            config.encoder_config(),
+            None if enc_only else config.decoder_config(), mp)
     dp = config.data_parallel
     if dp == -1:
         dp = len(local) // mp
@@ -147,20 +150,6 @@ def make_generation_mesh(config: GSTConfig):
     return make_mesh(dp, mp, devices=local[:n])
 
 
-def pad_batch_rows(batch, multiple: int):
-    """Pad a numpy batch dict's leading axis up to a multiple (DP meshes
-    need the batch divisible by the data axis).  Padded rows repeat row 0
-    and are dropped by the caller via the returned valid count."""
-    import numpy as np
-
-    n = next(iter(batch.values())).shape[0]
-    pad = (-n) % multiple
-    if pad == 0:
-        return batch, n
-    batch = {k: np.concatenate([np.asarray(v),
-                                np.repeat(np.asarray(v)[:1], pad, axis=0)])
-             for k, v in batch.items()}
-    return batch, n
 
 
 def init_params(model: GSTVisualDialog, config: GSTConfig, seed: int = 0):

@@ -54,7 +54,7 @@ def main(argv=None, max_batches=None, chunk_size=200):
     # any dp work), -model_parallel > 1 places params Megatron-TP
     from gstx.cli.common import make_generation_mesh
 
-    mesh = make_generation_mesh(config)
+    mesh = make_generation_mesh(config, enc_only=True)
     result = evaluate_disc(model, params, batches(), mode=config.mode,
                            vd_version=config.vd_version,
                            chunk_size=chunk_size, logger=logger, mesh=mesh)

@@ -61,22 +61,14 @@ def main(argv=None, max_steps=None):
     # SPMD mesh: the reference wraps the disc encoder in nn.DataParallel
     # (train_disc.py:251); gstx shards batch over 'data' and, with
     # -model_parallel > 1, the transformer matmuls Megatron-style over
-    # 'model' (gstx.core.mesh.param_partition_spec)
-    from gstx.core.mesh import (auto_data_parallel, make_global_batch,
-                                make_mesh, shard_by_path,
-                                validate_model_parallel)
+    # 'model' (gstx.core.mesh.param_partition_spec).  dec_cfg=None:
+    # encoder-only, the decoder dims are irrelevant to validation.
+    from gstx.core.mesh import (make_global_batch, shard_by_path,
+                                training_mesh)
 
-    n_dev = len(jax.devices())
-    mp = max(1, config.model_parallel)
-    dp = config.data_parallel
-    if dp == -1:
-        dp = auto_data_parallel(config.batch_size, n_dev // mp)
-    validate_model_parallel(config.encoder_config(), None, mp)
-    if mp > 1:
-        # pallas kernels are opaque to GSPMD; TP must run the jnp path
-        from gstx.kernels import ffn as _pf
-        _pf.set_tensor_parallel(True)
-    mesh = make_mesh(dp, mp, devices=jax.devices()[: dp * mp])
+    mesh = training_mesh(config.encoder_config(), None,
+                         config.data_parallel, config.model_parallel,
+                         config.batch_size)
     model = model.clone(mesh=mesh)
 
     optimizer = make_optimizer(config.lr, config.image_lr,

@@ -3,8 +3,10 @@
 The reference's only parallelism is single-node ``nn.DataParallel``
 (reference ``train_gen.py:295`` et al.).  The TPU-native equivalent is SPMD
 over a ``jax.sharding.Mesh``: batch-axis data parallelism with gradient
-all-reduce over ICI, and an optional ``model`` axis reserved for tensor
-parallelism of the 1024-d visual stream / 30522-vocab LM head.
+all-reduce over ICI, and a ``model`` axis carrying full Megatron-style
+tensor parallelism — vocab-dim tensors plus every transformer matmul
+(column-parallel QKV/FFN-d1/co-attention, row-parallel
+attention-out/FFN-d2) shard per :func:`param_partition_spec`.
 
 All entry points go through :func:`make_mesh` so multi-chip behaviour is
 centralised and testable on a virtual CPU mesh
@@ -210,10 +212,36 @@ def validate_model_parallel(enc_cfg, dec_cfg, model_parallel: int) -> None:
                 f"intermediate size")
 
 
+def training_mesh(enc_cfg, dec_cfg, data_parallel: int, model_parallel: int,
+                  batch_size: int) -> Mesh:
+    """Resolve and validate a trainer's ('data','model') mesh — the one
+    shared recipe for train_gen / train_disc: dp == -1 picks the largest
+    divisor of ``batch_size`` fitting the devices left after the model
+    axis; ``validate_model_parallel`` rejects unsplittable degrees early.
+    Pass ``dec_cfg=None`` for encoder-only trainers."""
+    mp = max(1, model_parallel)
+    n_dev = len(jax.devices())
+    dp = data_parallel
+    if dp == -1:
+        dp = auto_data_parallel(batch_size, n_dev // mp)
+    validate_model_parallel(enc_cfg, dec_cfg, mp)
+    return make_mesh(dp, mp, devices=jax.devices()[: dp * mp])
+
+
 def shard_by_path(mesh: Mesh, tree):
-    """device_put a params or optimizer-state pytree with vocab-dimension
-    leaves tensor-parallel over the 'model' axis and everything else
-    replicated.  With a model axis of size 1 this is plain replication."""
+    """device_put a params or optimizer-state pytree Megatron-tensor-
+    parallel over the 'model' axis: vocab-dimension tensors plus every
+    transformer matmul shard per :func:`param_partition_spec`; everything
+    else replicates.  With a model axis of size 1 this is plain
+    replication.
+
+    A leaf whose sharded dimension does not divide by the model-axis size
+    falls back to replication (with a one-time warning) instead of
+    crashing — e.g. the 30522-row vocab tensors at model_parallel=4 stay
+    replicated while the head/FFN matmuls still shard
+    (``validate_model_parallel`` guarantees those divide).  The model's
+    logits constraints apply the matching guard (encdec._shard_logits)."""
+    warned = set()
 
     def place(path, x):
         keys = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
@@ -221,7 +249,17 @@ def shard_by_path(mesh: Mesh, tree):
         spec = param_partition_spec(keys)
         if MODEL_AXIS in mesh.shape and mesh.shape[MODEL_AXIS] > 1 \
                 and spec != P():
-            return jax.device_put(x, NamedSharding(mesh, spec))
+            mp = mesh.shape[MODEL_AXIS]
+            divisible = all(
+                x.shape[dim] % mp == 0
+                for dim, axis in enumerate(spec) if axis == MODEL_AXIS)
+            if divisible:
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            tail = "/".join(keys.split("/")[-2:])
+            if tail not in warned:
+                warned.add(tail)
+                print(f"[gstx.mesh] {keys}: dimension not divisible by "
+                      f"model_parallel={mp}; leaf replicated", flush=True)
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(place, tree)
@@ -240,6 +278,20 @@ def shard_batch(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_rows(batch, multiple: int):
+    """Pad a numpy batch dict's leading axis up to a multiple (DP meshes
+    need the batch divisible by the data axis).  Padded rows repeat row 0
+    and are dropped by the caller via the returned valid count."""
+    n = next(iter(batch.values())).shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+    batch = {k: np.concatenate([np.asarray(v),
+                                np.repeat(np.asarray(v)[:1], pad, axis=0)])
+             for k, v in batch.items()}
+    return batch, n
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

@@ -140,15 +140,12 @@ def make_dialog_engine(
     schedules coincide.  Outputs are identical either way (bucket width
     never changes the math, only the compile shape).
     """
-    if mesh is not None:
-        from gstx.core.mesh import MODEL_AXIS
+    # pallas kernels are opaque to GSPMD: with Megatron-sharded weights
+    # they would force all-gathers; the jnp path partitions.  Set (or
+    # clear) the gate at construction from this engine's mesh.
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
 
-        if mesh.shape.get(MODEL_AXIS, 1) > 1:
-            # pallas kernels are opaque to GSPMD: with Megatron-sharded
-            # weights they would force all-gathers; the jnp path partitions
-            from gstx.kernels import ffn as _pf
-
-            _pf.set_tensor_parallel(True)
+    set_tensor_parallel_from_mesh(mesh)
 
     def decode_utterance(params, state, image, rng, settings, ngram_source):
         batch = state.enc_input_ids.shape[0]

@@ -63,16 +63,14 @@ def evaluate_attack(
     score_chunk = make_chunk_scorer(model, mesh=mesh)
     fgsm_chunk = make_fgsm_scorer(model, epsilon, mesh=mesh) \
         if config.attack == "fgsm" else None
+    from gstx.core.mesh import pad_batch_rows
+
     dp = mesh.shape["data"] if mesh is not None else 1
     # device chunk keys: enc_sep_indices stays host-side (it only feeds the
     # dialog-round computation) and must not hit the sharded scorers
     dev_keys = ("enc_input_ids", "enc_segments", "enc_att_mask",
                 "dec_input_ids", "dec_att_mask", "enc_image_feat",
                 "enc_image_loc", "enc_image_mask")
-
-    def pad_rows(v, n_pad):
-        return np.concatenate([v, np.repeat(v[:1], n_pad, axis=0)]) \
-            if n_pad else v
 
     batch_idx = 0
     for batch in loader:
@@ -102,12 +100,18 @@ def evaluate_attack(
             dialog_round = int((chunk["enc_sep_indices"][0] != 0).sum() // 2)
             is_dense_round = dialog_round == round_id
 
+            def dev_chunk():
+                # pad AFTER any text-attack mutation of `chunk` below
+                padded, _ = pad_batch_rows(
+                    {k: np.asarray(chunk[k]) for k in dev_keys}, dp)
+                return {k: jnp.asarray(v) for k, v in padded.items()}
+
             n_pad = (-options) % dp
             if config.attack == "fgsm" and is_dense_round:
+                # padded rows carry gt_relevance 0: their FGSM gradient is
+                # exactly zero, so sign(0) == 0 leaves them unperturbed
                 scores = np.asarray(fgsm_chunk(
-                    params,
-                    {k: jnp.asarray(pad_rows(np.asarray(chunk[k]), n_pad))
-                     for k in dev_keys},
+                    params, dev_chunk(),
                     jnp.asarray(np.concatenate(
                         [gt_relevance, np.zeros(n_pad,
                                                 gt_relevance.dtype)]))))[
@@ -134,10 +138,8 @@ def evaluate_attack(
                     chunk["enc_input_ids"] = text_attack.random_token_attack(
                         chunk["enc_input_ids"], chunk["enc_segments"],
                         chunk["enc_att_mask"], image)
-                scores = np.asarray(score_chunk(
-                    params,
-                    {k: jnp.asarray(pad_rows(np.asarray(chunk[k]), n_pad))
-                     for k in dev_keys}))[:options]
+                scores = np.asarray(score_chunk(params, dev_chunk()))[
+                    :options]
             out.append(scores)
 
         scores = np.concatenate(out).reshape(1, rounds, options)

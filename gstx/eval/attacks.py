@@ -51,7 +51,10 @@ def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0,
     them.  Padded rows must carry ``gt_relevance == 0``: their gradient is
     exactly zero, so ``sign(0) == 0`` leaves them unperturbed."""
     from gstx.models.encdec import candidate_log_likelihood
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
 
+    # pallas kernels are GSPMD-opaque; gate them off under Megatron TP
+    set_tensor_parallel_from_mesh(mesh)
     in_shardings = None
     if mesh is not None:
         from gstx.core.mesh import batch_sharding

@@ -20,6 +20,10 @@ from gstx.models.encdec import GSTVisualDialog
 
 
 def make_nsp_scorer(model: GSTVisualDialog, mesh=None):
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
+
+    # pallas kernels are GSPMD-opaque; gate them off under Megatron TP
+    set_tensor_parallel_from_mesh(mesh)
     in_shardings = None
     if mesh is not None:
         from gstx.core.mesh import batch_sharding
@@ -86,17 +90,16 @@ def evaluate_disc(
 
         cs = min(chunk_size, total)
         assert total % cs == 0
+        # DP meshes need the chunk batch divisible by the data axis: pad
+        # with repeated rows and slice the padded scores away
+        from gstx.core.mesh import pad_batch_rows
+
         dp = mesh.shape["data"] if mesh is not None else 1
-        cs_pad = ((cs + dp - 1) // dp) * dp
         out = []
         for j in range(total // cs):
-            chunk = {}
-            for k, v in flat.items():
-                rows = v[j * cs:(j + 1) * cs]
-                if cs_pad != cs:
-                    rows = np.concatenate(
-                        [rows, np.repeat(rows[:1], cs_pad - cs, axis=0)])
-                chunk[k] = jnp.asarray(rows)
+            chunk, _ = pad_batch_rows(
+                {k: v[j * cs:(j + 1) * cs] for k, v in flat.items()}, dp)
+            chunk = {k: jnp.asarray(v) for k, v in chunk.items()}
             out.append(np.asarray(score_chunk(params, chunk))[:cs])
         scores = np.concatenate(out).reshape(b, rounds, options)
 

@@ -31,6 +31,11 @@ def make_chunk_scorer(model: GSTVisualDialog, mesh=None):
     With ``mesh``, chunks shard over the data axis (DP evaluation: the
     10x100 options axis folds into the batch and splits across chips)."""
 
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
+
+    # pallas kernels are GSPMD-opaque; gate them off when this scorer's
+    # mesh carries Megatron-TP weights (back on for a TP=1 build)
+    set_tensor_parallel_from_mesh(mesh)
     in_shardings = None
     if mesh is not None:
         from gstx.core.mesh import batch_sharding
@@ -110,17 +115,14 @@ def evaluate_gen(
         assert total % cs == 0, (total, cs)
         # DP meshes need the chunk batch divisible by the data axis: pad
         # with repeated rows and slice the padded scores away
+        from gstx.core.mesh import pad_batch_rows
+
         dp = mesh.shape["data"] if mesh is not None else 1
-        cs_pad = ((cs + dp - 1) // dp) * dp
         out = []
         for j in range(total // cs):
-            chunk = {}
-            for k, v in flat.items():
-                rows = v[j * cs:(j + 1) * cs]
-                if cs_pad != cs:
-                    rows = np.concatenate(
-                        [rows, np.repeat(rows[:1], cs_pad - cs, axis=0)])
-                chunk[k] = jnp.asarray(rows)
+            chunk, _ = pad_batch_rows(
+                {k: v[j * cs:(j + 1) * cs] for k, v in flat.items()}, dp)
+            chunk = {k: jnp.asarray(v) for k, v in chunk.items()}
             out.append(np.asarray(score_chunk(params, chunk))[:cs])
         scores = np.concatenate(out).reshape(b, rounds, options)
 

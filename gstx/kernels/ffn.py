@@ -51,15 +51,32 @@ def is_enabled() -> bool:
 # Megatron tensor parallelism shards the FFN/projection weights over the
 # 'model' mesh axis (gstx.core.mesh.param_partition_spec); a pallas_call is
 # opaque to the GSPMD partitioner, so running the fused kernels on sharded
-# weights would force all-gathers (or fail to partition).  Mesh-building
-# call sites flip this when model_parallel > 1 and the modules fall back to
-# the jnp path, which GSPMD partitions Megatron-style.
+# weights would force all-gathers (or fail to partition).  Every jitted-
+# program factory (make_train_step, make_disc_train_step,
+# make_dialog_engine, the eval chunk scorers) sets this at BUILD time from
+# its own mesh — True or False — so building a TP=1 program restores the
+# kernels after a TP>1 one.  Caveat: the flag is read at TRACE time
+# (first call), so interleaving the construction of a TP and a non-TP
+# program before either has run keeps only the last builder's setting;
+# build-then-run each program, or re-build.
 _TP_ACTIVE = False
 
 
 def set_tensor_parallel(flag: bool):
     global _TP_ACTIVE
-    _TP_ACTIVE = flag
+    _TP_ACTIVE = bool(flag)
+
+
+def set_tensor_parallel_from_mesh(mesh):
+    """Flip the TP gate from a mesh (None or 'model' axis <= 1 -> off)."""
+    from gstx.core.mesh import MODEL_AXIS
+
+    set_tensor_parallel(mesh is not None
+                        and mesh.shape.get(MODEL_AXIS, 1) > 1)
+
+
+def tensor_parallel_active() -> bool:
+    return _TP_ACTIVE
 
 
 def _on_tpu() -> bool:

@@ -48,10 +48,14 @@ class GSTVisualDialog(nn.Module):
 
     def _shard_logits(self, x):
         """Keep the trailing vocab axis of logits partitioned over the
-        'model' mesh axis (no-op without a >1 model axis)."""
+        'model' mesh axis (no-op without a >1 model axis, or when the
+        vocab does not divide by it — shard_by_path then replicates the
+        vocab-dim weights too, so constraining would be inconsistent)."""
         from gstx.core.mesh import MODEL_AXIS
 
         if self.mesh is None or self.mesh.shape.get(MODEL_AXIS, 1) <= 1:
+            return x
+        if x.shape[-1] % self.mesh.shape[MODEL_AXIS] != 0:
             return x
         P = jax.sharding.PartitionSpec
         # leading dims unconstrained (XLA keeps the propagated 'data'

@@ -33,6 +33,11 @@ def nsp_attention_mask(sep_indices: jnp.ndarray, hist_len: jnp.ndarray,
 
 def make_disc_train_step(model: GSTVisualDialog, optimizer,
                          config: GSTConfig):
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
+
+    # pallas kernels are opaque to GSPMD; under Megatron TP the modules
+    # must take the jnp path (and a later TP=1 build restores the kernels)
+    set_tensor_parallel_from_mesh(model.mesh)
     predict_feature = config.encoder_config().predict_feature
 
     def loss_fn(params, rows, rng):

@@ -65,6 +65,11 @@ def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int,
     grows without growing the HBM watermark) and applies ONE optimizer
     update on the averaged gradients.  The reference declares the flag but
     never implements it (options.py:64); gstx makes it functional."""
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
+
+    # pallas kernels are opaque to GSPMD; under Megatron TP the modules
+    # must take the jnp path (and a later TP=1 build restores the kernels)
+    set_tensor_parallel_from_mesh(model.mesh)
 
     def loss_fn(params, rows, rng):
         logits = model.apply(
@@ -169,22 +174,11 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
         params, opt_state, start_iter_id = load_start_checkpoint(
             config, params, opt_state)
 
-    from gstx.core.mesh import auto_data_parallel, validate_model_parallel
+    from gstx.core.mesh import shard_by_path, training_mesh
 
-    n_dev = len(jax.devices())
-    dp = config.data_parallel
-    if dp == -1:
-        dp = auto_data_parallel(config.batch_size,
-                                n_dev // max(1, config.model_parallel))
-    validate_model_parallel(config.encoder_config(), config.decoder_config(),
-                            config.model_parallel)
-    if config.model_parallel > 1:
-        # pallas kernels are opaque to GSPMD; TP must run the jnp path
-        from gstx.kernels import ffn as _pf
-        _pf.set_tensor_parallel(True)
-    mesh = make_mesh(dp, config.model_parallel,
-                     devices=jax.devices()[: dp * config.model_parallel])
-    from gstx.core.mesh import shard_by_path
+    mesh = training_mesh(config.encoder_config(), config.decoder_config(),
+                         config.data_parallel, config.model_parallel,
+                         config.batch_size)
 
     # Megatron-style tensor parallelism over the 'model' axis — vocab-dim
     # tensors, per-head QKV/out projections and FFN matmuls shard via

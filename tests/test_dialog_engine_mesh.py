@@ -149,6 +149,25 @@ def test_engine_mesh_tensor_parallel_identity(tiny_configs):
     assert len(out_m.questions.sharding.device_set) == 8
 
 
+@pytest.mark.slow
+def test_engine_mesh_tp_with_options(tiny_configs):
+    """TP composed with the engine options: (4 data x 2 model) + dynamic
+    context buckets == single device — option combinations cannot
+    silently break the Megatron sharding.
+
+    f32 only: int8 memory (bf16-only) is excluded because TP partitions
+    every contraction (partial sums + all-reduce), so bf16 reduction
+    order differs from single-device and greedy near-ties flip — the
+    same ~bf16-ulp autoregressive amplification the verify skill
+    documents for bf16-pair comparisons (measured 6.7% token drift
+    here).  At f32/HIGHEST the drift stays below the argmax-flip
+    threshold and bitwise identity is a valid pin."""
+    out_1, out_m = _run_pair(
+        tiny_configs, jnp.float32, mesh_shape=(4, 2),
+        context_buckets=(48,), dynamic_buckets=True)
+    _assert_identical(out_1, out_m)
+
+
 def test_engine_init_max_hint_identity(tiny_configs):
     """Passing the host-known init_max (cli/generate's pipeline-stall
     avoidance) must be identical to the engine's own device sync."""

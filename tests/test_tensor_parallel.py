@@ -184,6 +184,72 @@ def test_ffn_and_qkv_matmuls_are_partitioned(tp_setup):
     assert f"[{d},{f}]" not in txt, "full-shape FFN d1 present in HLO"
 
 
+def test_decode_prepare_cross_kv_is_partitioned(tp_setup):
+    """The DECODE path partitions too: compiled TP=2 decode_prepare (the
+    engine's per-utterance encoder + cross-attention K/V precompute) must
+    consume the fused cross_kv projection at its LOCAL column shape and
+    never rematerialize the full weight."""
+    enc_cfg, dec_cfg, params, batch = tp_setup
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    model = GSTVisualDialog(enc_cfg, dec_cfg, mesh=mesh)
+    sh_params = shard_by_path(mesh, params)
+    b, l = 4, 24
+    r = batch["enc_image_feat"].shape[1]
+    args = (jnp.ones((b, l), jnp.int32),
+            jnp.asarray(batch["enc_image_feat"][:b]),
+            jnp.asarray(batch["enc_image_loc"][:b]),
+            jnp.zeros((b, l), jnp.int32),
+            jnp.ones((b, l), jnp.int32),
+            jnp.ones((b, r), jnp.int32))
+
+    @jax.jit
+    def prepare(p, *a):
+        return model.apply(p, *a, method=GSTVisualDialog.decode_prepare)
+
+    with mesh:
+        txt = prepare.lower(sh_params, *args).compile().as_text()
+    d = dec_cfg.hidden_size
+    # fused cross-K/V [D, 2D] column-parallel -> local [D, D]
+    assert f"[{d},{2 * d // 2}]" in txt, "cross_kv not at local column shape"
+    assert f"[{d},{2 * d}]" not in txt, "full-shape cross_kv present in HLO"
+
+
+def test_shard_by_path_non_divisible_dim_replicates(capsys):
+    """A leaf whose sharded dimension does not divide the model axis must
+    fall back to replication (with a warning) instead of crashing — e.g.
+    the 30522-row vocab tensors at model_parallel=4."""
+    mesh = make_mesh(2, 4)
+    tree = {"decoder": {"lm_weight": jnp.ones((126, 8)),   # 126 % 4 != 0
+                        "lm_bias": jnp.ones((126,))},
+            "layer_0": {"ffn": {"intermediate":
+                                {"kernel": jnp.ones((8, 16))}}}}
+    placed = shard_by_path(mesh, tree)
+    assert placed["decoder"]["lm_weight"].sharding.is_fully_replicated
+    assert placed["decoder"]["lm_bias"].sharding.is_fully_replicated
+    # the divisible column-parallel leaf still shards
+    spec = placed["layer_0"]["ffn"]["intermediate"]["kernel"].sharding.spec
+    assert spec == P(None, MODEL_AXIS)
+    assert "not divisible" in capsys.readouterr().out
+
+
+def test_tp_gate_follows_builders(tiny_configs):
+    """The pallas TP gate is set at program-build time from each builder's
+    mesh — a TP build disables the kernels, a later TP=1 build restores
+    them (the round-3 review's sticky-flag fix)."""
+    from gstx.kernels.ffn import tensor_parallel_active
+    from gstx.train.optim import make_optimizer
+    from gstx.train.train_gen import make_train_step
+
+    enc_cfg, dec_cfg = tiny_configs
+    optimizer = make_optimizer(1e-4, 1e-4, 10, 1000)
+    tp_model = GSTVisualDialog(enc_cfg, dec_cfg, mesh=make_mesh(4, 2))
+    make_train_step(tp_model, optimizer, batch_size=4)
+    assert tensor_parallel_active()
+    dp_model = GSTVisualDialog(enc_cfg, dec_cfg, mesh=make_mesh(8, 1))
+    make_train_step(dp_model, optimizer, batch_size=4)
+    assert not tensor_parallel_active()
+
+
 def test_validate_model_parallel():
     from gstx.core.mesh import validate_model_parallel
 
