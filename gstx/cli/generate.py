@@ -198,7 +198,8 @@ def main(argv=None, max_batches=None, stats_out=None):
     save_name = config.save_name
     if proc_count > 1:
         # per-host output shard (hosts stripe the dataset independently);
-        # downstream chunk loading globs the directory either way
+        # the training-side loader reassembles name.procN shards in
+        # process order (gstx.data.cc12m.load_dialog_json)
         root, ext = os.path.splitext(save_name)
         save_name = f"{root}.proc{proc_idx}{ext}"
     out_path = os.path.join(config.save_path, save_name)

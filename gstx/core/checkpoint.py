@@ -33,23 +33,42 @@ import numpy as np
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
     """Write-to-temp-then-swap so an interrupted save never destroys the
     previous checkpoint (the old copy survives until the new one is fully
-    written)."""
+    written).
+
+    Multi-host (jax.process_count() > 1): ALL processes must call this with
+    the same path on a SHARED filesystem — orbax streams each process's
+    addressable shards of globally-sharded arrays collectively; the
+    host-side tmp cleanup and final swap then run on process 0 only,
+    fenced by barriers so no process returns before the checkpoint is
+    complete (the single-process tmp-swap would race across hosts)."""
     import shutil
 
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     tmp = path + ".tmp"
-    if os.path.isdir(tmp):
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        barrier = multihost_utils.sync_global_devices
+    else:
+        barrier = lambda name: None  # noqa: E731
+    if (not multiproc or jax.process_index() == 0) and os.path.isdir(tmp):
         shutil.rmtree(tmp)
+    barrier("gstx:ckpt_tmp_clean")
     ckptr = ocp.PyTreeCheckpointer()
     payload = {"params": params, "step": np.asarray(step)}
     if opt_state is not None:
         payload["opt_state"] = opt_state
     ckptr.save(tmp, payload)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    barrier("gstx:ckpt_written")
+    if not multiproc or jax.process_index() == 0:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    barrier("gstx:ckpt_swapped")
 
 
 def restore_checkpoint(path: str, template=None):

@@ -11,7 +11,9 @@ NumPy port of the reference ``dataloader/dataloader_cc12m_gen.py:11-266``:
 
 from __future__ import annotations
 
+import glob as _glob
 import json
+import os
 from typing import Optional
 
 import numpy as np
@@ -48,8 +50,7 @@ class CC12mDataset:
                 self.captions = json.load(f)
             assert len(self.captions) == len(self.reader)
         else:
-            with open(config.cc12m_processed_train) as f:
-                self.dialogs = json.load(f)
+            self.dialogs = load_dialog_json(config.cc12m_processed_train)
 
     def __len__(self) -> int:
         return len(self.captions if self.captions is not None
@@ -150,6 +151,29 @@ class CC12mDataset:
                     enc_image_mask=img_mask, enc_image_target=img_target,
                     enc_image_label=img_label)
         return item
+
+
+def load_dialog_json(path: str):
+    """Load a generated-dialog JSON file, transparently concatenating the
+    per-host output shards a multi-host ``cli/generate`` run writes
+    (``name.procN.ext`` next to the configured ``name.ext``).  Shards
+    append after the exact file (if present) in process-index order, so a
+    single-host run, a multi-host run, and a mixed directory all load
+    deterministically."""
+    root, ext = os.path.splitext(path)
+    shards = sorted(
+        _glob.glob(f"{_glob.escape(root)}.proc*{ext}"),
+        key=lambda p: int(
+            p[len(root) + len(".proc"):len(p) - len(ext)]))
+    paths = ([path] if os.path.exists(path) else []) + shards
+    if not paths:
+        raise FileNotFoundError(
+            f"no dialog file {path} and no per-host shards {root}.proc*{ext}")
+    dialogs = []
+    for p in paths:
+        with open(p) as f:
+            dialogs.extend(json.load(f))
+    return dialogs
 
 
 def load_cc12m_chunks(config: GSTConfig, tokenizer: BertTokenizer):

@@ -286,6 +286,43 @@ def test_cc12m_datasets(visdial_env, tmp_path):
         assert zeroed == (rnd["answer_ppl"] >= 50)
 
 
+def test_cc12m_train_loads_multihost_proc_shards(visdial_env, tmp_path):
+    """Multi-host cli/generate writes per-process ``name.procN.ext`` output
+    shards; the training-side loader must reassemble them (after the exact
+    file, in process order) so a sharded generate run feeds the student
+    stage unchanged."""
+    from gstx.data.cc12m import CC12mDataset, load_dialog_json
+    from gstx.data.feature_store import make_synthetic_store
+
+    cfg, tok = visdial_env
+    base = make_cc12m_dialog_json(str(tmp_path / "dialogs.json"), 2)
+    s0 = make_cc12m_dialog_json(str(tmp_path / "dialogs.proc0.json"), 3,
+                                seed=5)
+    s1 = make_cc12m_dialog_json(str(tmp_path / "dialogs.proc1.json"), 1,
+                                seed=7)
+    loaded = load_dialog_json(str(tmp_path / "dialogs.json"))
+    assert [d["caption"] for d in loaded] == \
+        [d["caption"] for d in base + s0 + s1]
+
+    # shards-only directory (the usual multi-host layout: no exact file)
+    only = tmp_path / "only"
+    only.mkdir()
+    make_cc12m_dialog_json(str(only / "d.proc0.json"), 2, seed=5)
+    make_cc12m_dialog_json(str(only / "d.proc1.json"), 2, seed=7)
+    store = str(tmp_path / "cc.store")
+    make_synthetic_store(store, [2000 + i for i in range(4)], num_boxes=12,
+                         feat_dim=16, num_classes=11)
+    cfg2 = cfg.replace(cc12m_image_feats=store,
+                       cc12m_processed_train=str(only / "d.json"))
+    train = CC12mDataset(cfg2, tok, mode="cc12m_train")
+    assert len(train) == 4
+    item = train.__getitem__(3, seed=0)
+    assert item["dec_labels"].shape == (10, 1, cfg.max_utt_len)
+
+    with pytest.raises(FileNotFoundError):
+        load_dialog_json(str(tmp_path / "missing.json"))
+
+
 def test_loader_determinism(visdial_env):
     from gstx.data.visdial import VisdialGenDataset
 

@@ -68,6 +68,78 @@ print(f"MULTIHOST_LOSS {{loss:.10f}}", flush=True)
 """
 
 
+# Child for the multi-host checkpoint round-trip: both processes call
+# save_checkpoint on the SAME shared-filesystem path (orbax writes each
+# process's shards collectively; the tmp-swap runs on process 0 only behind
+# barriers), then both restore and compare against the deterministic init.
+CHILD_CKPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {tests!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from gstx.core.mesh import init_distributed, make_mesh, shard_by_path
+init_distributed(coordinator_address={coord!r}, num_processes=2,
+                 process_id=int(sys.argv[1]))
+assert jax.process_count() == 2
+
+import numpy as np
+from fixtures import init_tiny_params, tiny_enc_dec_configs
+from gstx.core.checkpoint import restore_checkpoint, save_checkpoint
+
+enc_cfg, dec_cfg = tiny_enc_dec_configs()
+mesh = make_mesh(2, 2)
+# TP-sharded leaves span only host-local devices, but data-axis
+# replication makes every leaf span BOTH processes -> the collective
+# orbax path is genuinely exercised
+params = shard_by_path(mesh, init_tiny_params(enc_cfg, dec_cfg))
+save_checkpoint({ckpt!r}, params, step=7)
+restored = restore_checkpoint({ckpt!r})
+assert int(restored["step"]) == 7
+import jax.tree_util as jtu
+ref_leaves = jtu.tree_leaves(init_tiny_params(enc_cfg, dec_cfg))
+got_leaves = jtu.tree_leaves(restored["params"])
+assert len(ref_leaves) == len(got_leaves)
+for a, b in zip(ref_leaves, got_leaves):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+print("CKPT_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_save_restore(tmp_path):
+    """Both processes of a jax.distributed run save ONE checkpoint of
+    (2 data x 2 model)-sharded params to a shared path and restore it
+    bit-exact — the every-process tmp-swap race this replaces corrupted
+    exactly this flow."""
+    coord = f"localhost:{_free_port()}"
+    ckpt = str(tmp_path / "shared" / "model_7.ckpt")
+    os.makedirs(os.path.dirname(ckpt))
+    script = tmp_path / "child_ckpt.py"
+    script.write_text(CHILD_CKPT.format(
+        repo=REPO_ROOT, tests=TESTS_DIR, coord=coord,
+        cache=str(tmp_path / "jax_cache"), ckpt=ckpt))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("GLOO_SOCKET_IFNAME", "lo")
+    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "CKPT_OK" in out, out[-2000:]
+    assert os.path.isdir(ckpt)
+    assert not os.path.isdir(ckpt + ".tmp")
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
