@@ -219,6 +219,19 @@ def test_two_process_distributed_train_step(tmp_path, dp, mp):
     np.testing.assert_allclose(losses[0], single_loss, rtol=1e-5, atol=1e-7)
 
 
+def test_process_log_path(monkeypatch):
+    """Non-zero processes log to a .procN-suffixed file so multi-host
+    appends never interleave; process 0 / single-process keeps the name."""
+    import jax
+
+    from gstx.core.logging import process_log_path
+
+    assert process_log_path("/x/log.txt") == "/x/log.txt"
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    assert process_log_path("/x/log.txt") == "/x/log.proc3.txt"
+    assert process_log_path("/x/log") == "/x/log.proc3"
+
+
 def test_process_shard_striping():
     """Deterministic, disjoint, covering stripes."""
     from gstx.core.mesh import process_shard
