@@ -104,6 +104,22 @@ def build_tokenizer(config: GSTConfig) -> BertTokenizer:
     return BertTokenizer(vocab_path=config.vocab_path)
 
 
+def primary_process_only(what: str = "evaluation") -> bool:
+    """True when this process should run a single-host workload.
+
+    The evaluator CLIs mesh over LOCAL devices only (the val set is ~2k
+    images — cross-host eval is not worth DCN coordination), so under a
+    jax.distributed launch the non-zero processes would duplicate the
+    whole computation and race on the shared output files.  They log and
+    skip instead; process 0's local-mesh programs never touch other
+    hosts' devices, so skipping is collective-safe."""
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        print(f"[gstx] {what} is single-host: process "
+              f"{jax.process_index()} idle (process 0 computes)")
+        return False
+    return True
+
+
 def build_model(config: GSTConfig, use_decoder: bool = True,
                 remat: bool = False, mesh=None
                 ) -> Tuple[GSTVisualDialog, EncoderConfig, DecoderConfig]:

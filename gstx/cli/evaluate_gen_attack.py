@@ -30,6 +30,10 @@ def main(argv=None, max_batches=None):
     pprint.pprint(config)
     assert config.mode == "vd_eval_val"
     assert config.start_path != ""
+    from gstx.cli.common import primary_process_only
+
+    if not primary_process_only():
+        return None
     os.makedirs(config.save_path, exist_ok=True)
     enable_compile_cache()
     apply_runtime_flags(config)

@@ -242,6 +242,22 @@ def test_cli_attack_coreference(cli_env, tmp_path_factory):
     assert "mrr" in metrics and "ndcg" in metrics
 
 
+def test_evaluators_skip_on_secondary_processes(monkeypatch):
+    """Under a jax.distributed launch the evaluator CLIs run on process 0
+    only (local-device mesh, shared output files) — secondary processes
+    return None before touching data or files."""
+    import jax
+
+    from gstx.cli import evaluate_disc, evaluate_gen, evaluate_gen_attack
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    args = ["-mode", "vd_eval_val", "-start_path", "unused.ckpt"]
+    assert evaluate_gen.main(list(args)) is None
+    assert evaluate_disc.main(args + ["-model", "enc_only_a"]) is None
+    assert evaluate_gen_attack.main(list(args)) is None
+
+
 def test_boolean_flag_pairs():
     """Every boolean config field has a working -X / -no_X switch pair, so
     default-True fields (remat, use_pallas) are controllable from any CLI;
