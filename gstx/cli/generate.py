@@ -186,14 +186,18 @@ def main(argv=None, max_batches=None, stats_out=None):
                     (done - roll_state[1], now - roll_state[0]))
             roll_state[0], roll_state[1] = now, done
 
-    for idx, batch in enumerate(loader.epoch(0)):
-        if max_batches is not None and idx >= max_batches:
-            break
-        dispatch(idx, batch)
-        if len(pending) >= 2:
+    # -trace_dir: device trace of the generation loop (no-op when unset)
+    from gstx.core.profiling import trace
+
+    with trace(config.trace_dir):
+        for idx, batch in enumerate(loader.epoch(0)):
+            if max_batches is not None and idx >= max_batches:
+                break
+            dispatch(idx, batch)
+            if len(pending) >= 2:
+                drain()
+        while pending:
             drain()
-    while pending:
-        drain()
 
     save_name = config.save_name
     if proc_count > 1:

@@ -88,34 +88,39 @@ def main(argv=None, max_steps=None):
                         process_count=n_proc)
     rng = jax.random.PRNGKey(config.seed)
     start_t = time.time()
-    for epoch_id, idx, batch in batch_iter(loader, config.num_epochs):
-        iter_id = idx + epoch_id * num_iter_epoch
-        rng, key = jax.random.split(rng)
-        dev_batch = make_global_batch(mesh, batch)
-        params, opt_state, metrics = step_fn(params, opt_state, dev_batch,
-                                             key)
-        if iter_id % config.log_every == 0:
-            vals = {k: float(v) for k, v in metrics.items()}
-            lr, _ = current_lrs(opt_state, config.lr, config.image_lr,
-                                DISC_WARMUP_STEPS, t_total, config.min_lr)
-            now = time.time()
-            logger.write(
-                "[%s][LR: %.7f][Ep: %.2f][Iter: %d][Time: %5.2fs]"
-                "[Loss: %.4g][LM: %.4g][NSP: %.4g][IMG: %.4g]" % (
-                    time.strftime("%a %d %b %y %X", time.gmtime()), lr,
-                    iter_id / num_iter_epoch, iter_id, now - start_t,
-                    vals["loss"], vals["lm_loss"], vals["nsp_loss"],
-                    vals["img_loss"]))
-            metrics_writer.log(iter_id, **vals)
-            start_t = now
-        if iter_id % num_iter_epoch == 0 and iter_id != 0:
-            ckpt_lib.save_checkpoint(
-                os.path.join(config.save_path,
-                             f"vd_train_disc_{epoch_id}.ckpt"),
-                params, opt_state, iter_id)
-            logger.write(f"\n{epoch_id} epoch ended.")
-        if max_steps is not None and iter_id + 1 >= max_steps:
-            break
+    # -trace_dir: device trace of the training loop (no-op when unset)
+    from gstx.core.profiling import trace
+
+    with trace(config.trace_dir):
+        for epoch_id, idx, batch in batch_iter(loader, config.num_epochs):
+            iter_id = idx + epoch_id * num_iter_epoch
+            rng, key = jax.random.split(rng)
+            dev_batch = make_global_batch(mesh, batch)
+            params, opt_state, metrics = step_fn(params, opt_state,
+                                                 dev_batch, key)
+            if iter_id % config.log_every == 0:
+                vals = {k: float(v) for k, v in metrics.items()}
+                lr, _ = current_lrs(opt_state, config.lr, config.image_lr,
+                                    DISC_WARMUP_STEPS, t_total,
+                                    config.min_lr)
+                now = time.time()
+                logger.write(
+                    "[%s][LR: %.7f][Ep: %.2f][Iter: %d][Time: %5.2fs]"
+                    "[Loss: %.4g][LM: %.4g][NSP: %.4g][IMG: %.4g]" % (
+                        time.strftime("%a %d %b %y %X", time.gmtime()), lr,
+                        iter_id / num_iter_epoch, iter_id, now - start_t,
+                        vals["loss"], vals["lm_loss"], vals["nsp_loss"],
+                        vals["img_loss"]))
+                metrics_writer.log(iter_id, **vals)
+                start_t = now
+            if iter_id % num_iter_epoch == 0 and iter_id != 0:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(config.save_path,
+                                 f"vd_train_disc_{epoch_id}.ckpt"),
+                    params, opt_state, iter_id)
+                logger.write(f"\n{epoch_id} epoch ended.")
+            if max_steps is not None and iter_id + 1 >= max_steps:
+                break
     return params, opt_state
 
 

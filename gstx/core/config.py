@@ -250,6 +250,8 @@ class GSTConfig:
     seed: int = 0
     log_every: int = 10
     use_pallas: bool = True  # fused pallas FFN/LN epilogue kernels (TPU bf16)
+    trace_dir: str = ""  # capture a jax.profiler device trace of the run
+    # (train/generate loops) into this dir, viewable in TensorBoard/XProf
 
     def encoder_config(self) -> EncoderConfig:
         if self.model_enc_config:

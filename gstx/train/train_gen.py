@@ -204,37 +204,44 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
     start_t = time.time()
     start_epoch = start_iter_id // max(1, num_iter_epoch)
     iter_id = start_iter_id  # final-ckpt save must work on zero-batch runs
-    for epoch_id, idx, batch in batch_iter(loader, config.num_epochs,
-                                           start_epoch):
-        iter_id = idx + epoch_id * num_iter_epoch
-        from gstx.core.mesh import make_global_batch
+    # -trace_dir: device trace of the training loop (no-op when unset)
+    from gstx.core.profiling import trace
 
-        dev_batch = make_global_batch(mesh, batch)
-        rng, step_rng = jax.random.split(rng)
-        params, opt_state, metrics = step_fn(params, opt_state, dev_batch,
-                                             step_rng)
-        if iter_id % config.log_every == 0:
-            loss = float(metrics["lm_loss"])
-            lr_lang, _ = current_lrs(opt_state, config.lr, config.image_lr,
-                                     config.warmup_steps, t_total,
-                                     config.min_lr)
-            now = time.time()
-            logger.write(
-                "[%s][LR: %.7f][Ep: %.2f][Iter: %d][Time: %5.2fs]"
-                "[LM Loss: %.4g]" % (
-                    time.strftime("%a %d %b %y %X", time.gmtime()),
-                    lr_lang, iter_id / max(1, num_iter_epoch), iter_id,
-                    now - start_t, loss))
-            metrics_writer.log(iter_id, lm_loss=loss, lr=lr_lang)
-            start_t = now
-        if iter_id % num_iter_epoch == 0 and iter_id != start_iter_id:
-            ckpt_lib.save_checkpoint(
-                os.path.join(config.save_path,
-                             f"{config.mode}_{config.chunk}_{epoch_id}.ckpt"),
-                params, opt_state, iter_id)
-            logger.write(f"\n{epoch_id} epoch ended.")
-        if max_steps is not None and iter_id - start_iter_id + 1 >= max_steps:
-            break
+    with trace(config.trace_dir):
+        for epoch_id, idx, batch in batch_iter(loader, config.num_epochs,
+                                               start_epoch):
+            iter_id = idx + epoch_id * num_iter_epoch
+            from gstx.core.mesh import make_global_batch
+
+            dev_batch = make_global_batch(mesh, batch)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, metrics = step_fn(params, opt_state,
+                                                 dev_batch, step_rng)
+            if iter_id % config.log_every == 0:
+                loss = float(metrics["lm_loss"])
+                lr_lang, _ = current_lrs(opt_state, config.lr,
+                                         config.image_lr,
+                                         config.warmup_steps, t_total,
+                                         config.min_lr)
+                now = time.time()
+                logger.write(
+                    "[%s][LR: %.7f][Ep: %.2f][Iter: %d][Time: %5.2fs]"
+                    "[LM Loss: %.4g]" % (
+                        time.strftime("%a %d %b %y %X", time.gmtime()),
+                        lr_lang, iter_id / max(1, num_iter_epoch), iter_id,
+                        now - start_t, loss))
+                metrics_writer.log(iter_id, lm_loss=loss, lr=lr_lang)
+                start_t = now
+            if iter_id % num_iter_epoch == 0 and iter_id != start_iter_id:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(
+                        config.save_path,
+                        f"{config.mode}_{config.chunk}_{epoch_id}.ckpt"),
+                    params, opt_state, iter_id)
+                logger.write(f"\n{epoch_id} epoch ended.")
+            if max_steps is not None and \
+                    iter_id - start_iter_id + 1 >= max_steps:
+                break
     ckpt_lib.save_checkpoint(os.path.join(config.save_path, "final.ckpt"),
                              params, opt_state, iter_id)
     return params, opt_state

@@ -324,3 +324,23 @@ def test_dryrun_multichip_entrypoint():
 
     g.dryrun_multichip(8)
     g.dryrun_multichip(2)
+
+
+def test_profiler_trace_capture(tmp_path):
+    """-trace_dir (gstx.core.profiling.trace) captures a real device trace
+    around a jitted computation; unset it is a strict no-op."""
+    import jax.numpy as jnp
+
+    from gstx.core.config import GSTConfig
+    from gstx.core.profiling import trace
+
+    tr = tmp_path / "tr"
+    with trace(str(tr)):
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    files = [f for f in tr.rglob("*") if f.is_file()]
+    assert files, "trace directory is empty"
+    assert any("xplane" in f.name or f.suffix == ".pb" for f in files), files
+
+    with trace(""):  # disabled: must not create anything or raise
+        pass
+    assert GSTConfig().trace_dir == ""
