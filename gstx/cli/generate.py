@@ -121,6 +121,8 @@ def main(argv=None, max_batches=None, stats_out=None):
             v = v.astype(ml_dtypes.bfloat16)
         return jnp.asarray(v)
 
+    from gstx.core.profiling import annotate
+
     def dispatch(idx, batch):
         nonlocal rng
         rng, key = jax.random.split(rng)
@@ -134,16 +136,18 @@ def main(argv=None, max_batches=None, stats_out=None):
         # the double-buffered pipeline behind the previous batch's rounds
         init_max = int(
             (np.asarray(batch["enc_input_ids"]) != 0).sum(-1).max())
-        out = engine(q_params, a_params, dev, key, init_max=init_max)
+        with annotate("gstx:dispatch_rounds"):
+            out = engine(q_params, a_params, dev, key, init_max=init_max)
         pending.append((idx, batch, n_valid, out))
 
     def drain():
         idx, batch, n_valid, out = pending.pop(0)
-        consume(idx, batch,
-                np.asarray(out.questions)[:, :n_valid],
-                np.asarray(out.answers)[:, :n_valid],
-                np.asarray(out.answer_ppl)[:, :n_valid],
-                np.asarray(out.abnormal)[:n_valid])
+        with annotate("gstx:fetch_results"):
+            questions = np.asarray(out.questions)[:, :n_valid]
+            answers = np.asarray(out.answers)[:, :n_valid]
+            ppls = np.asarray(out.answer_ppl)[:, :n_valid]
+            abnormal = np.asarray(out.abnormal)[:n_valid]
+        consume(idx, batch, questions, answers, ppls, abnormal)
 
     def consume(idx, batch, questions, answers, ppls, abnormal):
         image_ids = np.asarray(batch["image_id"])[:len(abnormal), 0]
