@@ -92,22 +92,36 @@ def main(argv=None, dry_run=False):
     import subprocess
     import sys
 
-    for stage in plan:
+    log_dir = os.path.join(args.save_path, "selftrain_logs")
+    os.makedirs(log_dir, exist_ok=True)
+    for i, stage in enumerate(plan):
         module, stage_args = stage[0], stage[1:]
-        print(f"[selftrain] python -m {module} {' '.join(stage_args)}",
-              flush=True)
+        log_path = os.path.join(
+            log_dir, f"stage_{i:03d}_{module.rsplit('.', 1)[-1]}.log")
+        print(f"[selftrain] python -m {module} {' '.join(stage_args)}\n"
+              f"[selftrain] stage log: {log_path}", flush=True)
         cmd = [sys.executable, "-m", module] + stage_args
-        proc = subprocess.run(cmd)
-        if proc.returncode < 0:
+        for attempt in range(3):
+            with open(log_path, "ab") as log_f:
+                proc = subprocess.run(cmd, stdout=log_f,
+                                      stderr=subprocess.STDOUT)
+            if proc.returncode >= 0:
+                break
             # killed by a signal (OOM-killer, transient host pressure) —
-            # a multi-day production loop should survive one infra kill
-            # per stage; every stage is idempotent (checkpoints/JSON are
-            # written atomically), so a clean retry is safe.  Real errors
-            # exit with a positive code and are NOT retried.
-            print(f"[selftrain] stage died with signal {-proc.returncode}; "
-                  "retrying once", flush=True)
-            proc = subprocess.run(cmd)
+            # a multi-day production loop should survive infra kills;
+            # every stage is idempotent (checkpoints/JSON are written
+            # atomically), so a clean retry is safe.  Real errors exit
+            # with a positive code and are NOT retried.
+            print(f"[selftrain] stage died with signal {-proc.returncode}"
+                  f" (attempt {attempt + 1}); retrying", flush=True)
         if proc.returncode != 0:
+            try:
+                with open(log_path) as f:
+                    tail = "".join(f.readlines()[-30:])
+            except OSError:
+                tail = "<no log>"
+            print(f"[selftrain] stage failed (rc={proc.returncode}); "
+                  f"log tail:\n{tail}", flush=True)
             raise subprocess.CalledProcessError(proc.returncode, cmd)
     return plan
 
