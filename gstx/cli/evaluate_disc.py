@@ -28,13 +28,13 @@ def main(argv=None, max_batches=None, chunk_size=200):
     assert config.mode in ("vd_eval_val", "vd_eval_test")
     assert config.model == "enc_only_a"
     assert config.start_path != ""
+    enable_compile_cache()
+    apply_runtime_flags(config)  # -distributed init BEFORE process queries
     from gstx.cli.common import primary_process_only
 
     if not primary_process_only():
         return None
     os.makedirs(config.save_path, exist_ok=True)
-    enable_compile_cache()
-    apply_runtime_flags(config)
 
     eval_batch_size = 20 if config.vd_version == "1.0" else 25
     save_name = config.save_name or "performance_log.txt"

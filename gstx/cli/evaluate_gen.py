@@ -30,13 +30,13 @@ def main(argv=None, max_batches=None, chunk_size=500):
     pprint.pprint(config)
     assert config.mode in ("vd_eval_val", "vd_eval_test")
     assert config.start_path != ""
+    enable_compile_cache()
+    apply_runtime_flags(config)  # -distributed init BEFORE process queries
     from gstx.cli.common import primary_process_only
 
     if not primary_process_only():
         return None
     os.makedirs(config.save_path, exist_ok=True)
-    enable_compile_cache()
-    apply_runtime_flags(config)
 
     # eval_batch_size 20 (v1.0) / 25 (v0.9), evaluate_gen.py:151
     eval_batch_size = 20 if config.vd_version == "1.0" else 25

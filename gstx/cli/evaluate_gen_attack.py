@@ -30,13 +30,13 @@ def main(argv=None, max_batches=None):
     pprint.pprint(config)
     assert config.mode == "vd_eval_val"
     assert config.start_path != ""
+    enable_compile_cache()
+    apply_runtime_flags(config)  # -distributed init BEFORE process queries
     from gstx.cli.common import primary_process_only
 
     if not primary_process_only():
         return None
     os.makedirs(config.save_path, exist_ok=True)
-    enable_compile_cache()
-    apply_runtime_flags(config)
 
     # batch size 1 for v1.0 (evaluate_gen_attack.py:378)
     eval_batch_size = 1 if config.vd_version == "1.0" else 25
