@@ -40,6 +40,15 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = max(1, process_count)
+        # detect seed support ONCE by signature: a try/except TypeError in
+        # _get would silently mask TypeErrors raised inside dataset code
+        import inspect
+
+        try:
+            sig = inspect.signature(dataset.__getitem__)
+            self._seeded = "seed" in sig.parameters
+        except (TypeError, ValueError):
+            self._seeded = False
 
     def _order(self, epoch_id: int) -> np.ndarray:
         n = len(self.dataset)
@@ -86,11 +95,10 @@ class DataLoader:
                 yield batch
 
     def _get(self, index: int, epoch_id: int):
-        seed = (self.seed * 1_000_003 + epoch_id * 97 + index) % (2**31 - 1)
-        try:
-            return self.dataset.__getitem__(index, seed=seed)
-        except TypeError:
+        if not self._seeded:
             return self.dataset[index]
+        seed = (self.seed * 1_000_003 + epoch_id * 97 + index) % (2**31 - 1)
+        return self.dataset.__getitem__(index, seed=seed)
 
 
 def batch_iter(loader: DataLoader, num_epochs: int, start_epoch: int = 0):
