@@ -25,6 +25,21 @@ import numpy as np
 TARGET_TOKENS_PER_SEC_PER_CHIP = 3.6e6 * 10 * 2 * 18 / 86400.0 / 16.0
 
 
+def bias_eos_logit(params, token_id: int, amount: float):
+    """Functional DEEP update of the decoder LM bias at one token id.
+
+    flax.core.copy merges only the TOP level, so a nested add_or_replace
+    dict would replace the whole 'params' subtree (dropping the encoder)
+    — flatten/unflatten updates the one leaf and keeps everything else."""
+    import flax.core
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(flax.core.unfreeze(params))
+    key = ("params", "decoder", "lm_bias")
+    flat[key] = flat[key].at[token_id].add(amount)
+    return traverse_util.unflatten_dict(flat)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-batch_size", type=int, default=96)
@@ -109,11 +124,7 @@ def main():
     if args.short_answers:
         # push SEP's logit up so sampled utterances terminate in a few
         # steps, emulating trained-checkpoint behavior (answers 3-7 tokens)
-        import flax.core
-
-        q_params = flax.core.copy(q_params, {"params": {"decoder": {
-            "lm_bias": q_params["params"]["decoder"]["lm_bias"]
-            .at[SEP_ID].add(9.0)}}})
+        q_params = bias_eos_logit(q_params, SEP_ID, 9.0)
         a_params = q_params
     print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
 

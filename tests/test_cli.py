@@ -295,3 +295,39 @@ def test_cli_generate_multihost_striping(cli_env, monkeypatch):
     # the 4-dialog fixture stripes 2 per process; process 1 gets the odd
     # global indices
     assert 0 < len(data) <= 2
+
+
+def test_bench_short_answers_bias_preserves_param_tree():
+    """Regression: the -short_answers EOS-bias surgery must DEEP-update the
+    one lm_bias leaf.  A flax.core.copy with a nested dict merges only the
+    top level and silently replaced the whole 'params' subtree (dropping
+    the encoder -> ScopeParamNotFoundError at engine time)."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from fixtures import init_tiny_params, tiny_enc_dec_configs
+    from gstx.core.config import SEP_ID
+
+    enc_cfg, dec_cfg = tiny_enc_dec_configs()
+    params = init_tiny_params(enc_cfg, dec_cfg)
+    biased = bench.bias_eos_logit(params, SEP_ID, 9.0)
+    assert jax.tree_util.tree_structure(biased) == \
+        jax.tree_util.tree_structure(params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(biased)[0]):
+        assert pa == pb
+        a, b = np.asarray(a), np.asarray(b)
+        name = str(pa[-1].key if hasattr(pa[-1], "key") else pa[-1])
+        if name == "lm_bias":
+            np.testing.assert_allclose(b[SEP_ID], a[SEP_ID] + 9.0,
+                                       rtol=1e-6)
+            mask = np.ones(a.shape, bool)
+            mask[SEP_ID] = False
+            np.testing.assert_array_equal(a[mask], b[mask])
+        else:
+            np.testing.assert_array_equal(a, b)
