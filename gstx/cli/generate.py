@@ -193,12 +193,13 @@ def main(argv=None, max_batches=None, stats_out=None):
     # -trace_dir: device trace of the generation loop (no-op when unset)
     from gstx.core.profiling import trace
 
+    depth = max(1, config.pipeline)
     with trace(config.trace_dir):
         for idx, batch in enumerate(loader.epoch(0)):
             if max_batches is not None and idx >= max_batches:
                 break
             dispatch(idx, batch)
-            if len(pending) >= 2:
+            if len(pending) >= depth:
                 drain()
         while pending:
             drain()

@@ -252,6 +252,9 @@ class GSTConfig:
     use_pallas: bool = True  # fused pallas FFN/LN epilogue kernels (TPU bf16)
     trace_dir: str = ""  # capture a jax.profiler device trace of the run
     # (train/generate loops) into this dir, viewable in TensorBoard/XProf
+    pipeline: int = 2  # generate: batches in flight (async dispatch while
+    # the previous batch's results transfer/decode; depths 1/2/3 measured
+    # 12,177/12,175/12,149 tok/s/chip — device-bound, 2 covers host syncs)
 
     def encoder_config(self) -> EncoderConfig:
         if self.model_enc_config:
