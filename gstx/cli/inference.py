@@ -7,7 +7,6 @@ engine (question appended with segment 0, answer with segment 1)."""
 from __future__ import annotations
 
 import pprint
-import sys
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ import json
 import os
 import sys
 import time
-from typing import Optional
 
 
 def process_log_path(path: str) -> str:

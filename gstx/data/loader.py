@@ -9,10 +9,8 @@ worker scheduling (the reference's DataLoader workers are nondeterministic).
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

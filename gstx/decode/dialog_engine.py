@@ -16,7 +16,6 @@ context (generate.py:163-211 recomputes it; the math is identical).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

@@ -13,14 +13,12 @@ multinomial sampling; PAD fill after the first EOS.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from gstx.core.config import CLS_ID, PAD_ID, SEP_ID
-from gstx.models.decoder import GSTDecoderModel
 from gstx.ops.sampling import (
     ngram_block,
     pad_after_eos,

@@ -9,7 +9,6 @@ context (the eval dataset masks history tokens with ``mask_prob`` when
 
 from __future__ import annotations
 
-import json
 from typing import Dict, List, Optional
 
 import jax
@@ -17,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gstx.core.config import PAD_ID, SEP_ID, GSTConfig
-from gstx.eval.attacks import TextAttack, make_fgsm_scorer, make_mlm_fill
+from gstx.eval.attacks import TextAttack, make_fgsm_scorer
 from gstx.eval.metrics import NDCG, SparseGTMetrics
 from gstx.eval.rank_gen import make_chunk_scorer
 from gstx.models.encdec import GSTVisualDialog

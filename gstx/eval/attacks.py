@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gstx.core.config import CLS_ID, MASK_ID, PAD_ID, SEP_ID
+from gstx.core.config import MASK_ID, PAD_ID, SEP_ID
 from gstx.data.encode import list2arraypad
 from gstx.models.encdec import (
     GSTVisualDialog,

@@ -9,7 +9,7 @@ NDCG/MRR/R@k or an EvalAI ranks file.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

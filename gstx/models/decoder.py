@@ -20,7 +20,7 @@ embedded inputs and a tied ``embed_attend`` projection.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ mode), and the soft NSP loss ``-(label * logprob).sum() / batch``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ sum of the three pretraining losses (``:116-123``)."""
 
 from __future__ import annotations
 
-from typing import Dict
 
 import functools
 

@@ -26,7 +26,7 @@ import optax
 from gstx.core.config import GSTConfig
 from gstx.core import checkpoint as ckpt_lib
 from gstx.core.logging import Logger, MetricsWriter
-from gstx.core.mesh import batch_sharding, make_mesh
+from gstx.core.mesh import batch_sharding
 from gstx.models.encdec import GSTVisualDialog, teacher_forced_loss
 from gstx.train.optim import current_lrs, make_optimizer
 
