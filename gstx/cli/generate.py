@@ -40,7 +40,59 @@ def _process_info():
     return jax.process_index(), jax.process_count()
 
 
-def main(argv=None, max_batches=None, stats_out=None):
+def _sidecar_meta(config, proc_idx, proc_count, n_items):
+    """Identity of a generation run: a partial sidecar is only resumable by
+    a run that would produce the identical batch sequence."""
+    return {
+        "seed": config.seed,
+        "batch_size": config.batch_size,
+        "mode": config.mode,
+        "chunk": config.chunk,
+        "num_dialog_rounds": config.num_dialog_rounds,
+        "max_dec_len": config.max_dec_len,
+        "start_path_q": config.start_path_q,
+        "start_path_a": config.start_path_a,
+        "process": [proc_idx, proc_count],
+        "n_items": n_items,
+    }
+
+
+def _load_sidecar(path, meta):
+    """(start_batch, per_batch_records) recovered from a partial sidecar:
+    the contiguous completed-batch prefix.  Returns (0, []) when the file is
+    absent, empty, or written by a different run (meta mismatch).  A torn
+    trailing line (preemption mid-append) is ignored."""
+    if not os.path.exists(path):
+        return 0, []
+    lines = open(path).read().splitlines()
+    if not lines:
+        return 0, []
+    try:
+        head = json.loads(lines[0])
+    except json.JSONDecodeError:
+        return 0, []
+    if head.get("meta") != meta:
+        print(f"[generate] ignoring sidecar {path}: meta mismatch "
+              "(written by a different run)")
+        return 0, []
+    done = {}
+    for ln in lines[1:]:
+        try:
+            row = json.loads(ln)
+        except json.JSONDecodeError:
+            break  # torn tail from a mid-append preemption
+        done[row["batch"]] = row["records"]
+    batches = []
+    while len(batches) in done:
+        batches.append(done[len(batches)])
+    return len(batches), batches
+
+
+def main(argv=None, max_batches=None, stats_out=None, finalize=True):
+    """``finalize=False`` stops after the batch loop without the final JSON
+    write or sidecar cleanup — the test seam for simulating a preempted run
+    (a real preemption kills the process anywhere; the sidecar protocol
+    tolerates that via the torn-tail rule in ``_load_sidecar``)."""
     config = parse_config(argv, "gstx dialog generation")
     pprint.pprint(config)
     assert config.mode in ("vd_gen_val", "cc12m_gen")
@@ -97,8 +149,50 @@ def main(argv=None, max_batches=None, stats_out=None):
                         drop_last=False, num_workers=config.num_workers,
                         seed=config.seed,
                         process_index=proc_idx, process_count=proc_count)
-    rng = jax.random.PRNGKey(config.seed)
-    gen_data = []
+    # per-batch keys are fold_in(seed, batch_idx) rather than a sequential
+    # split chain so a resumed run reproduces the uninterrupted token stream
+    base_rng = jax.random.PRNGKey(config.seed)
+
+    save_name = config.save_name
+    if proc_count > 1:
+        # per-host output shard (hosts stripe the dataset independently);
+        # the training-side loader reassembles name.procN shards in
+        # process order (gstx.data.cc12m.load_dialog_json)
+        root, ext = os.path.splitext(save_name)
+        save_name = f"{root}.proc{proc_idx}{ext}"
+    out_path = os.path.join(config.save_path, save_name)
+
+    # preemption recovery (SURVEY §5 failure/recovery; the reference loses
+    # the whole chunk, generate.py:258): completed batches append to a
+    # JSONL sidecar; a restart resumes at the first unfinished batch
+    sidecar = out_path + ".partial.jsonl" if config.flush_every > 0 else None
+    meta = _sidecar_meta(config, proc_idx, proc_count, len(dataset))
+    start_batch, recovered = 0, []
+    if sidecar and config.resume_generation:
+        start_batch, recovered = _load_sidecar(sidecar, meta)
+        if start_batch:
+            print(f"[generate] resuming at batch {start_batch} "
+                  f"({sum(len(b) for b in recovered)} dialogs recovered)")
+    if sidecar:
+        # (re)write the sidecar as exactly the recovered prefix: normalizes
+        # torn tails and stamps the meta header for fresh runs
+        with open(sidecar, "w") as f:
+            f.write(json.dumps({"meta": meta}) + "\n")
+            for b, recs in enumerate(recovered):
+                f.write(json.dumps({"batch": b, "records": recs}) + "\n")
+    gen_data = [rec for recs in recovered for rec in recs]
+    flush_buf = []
+
+    def flush_sidecar():
+        if sidecar is None or not flush_buf:
+            return
+        with open(sidecar, "a") as f:
+            for b, recs in flush_buf:
+                f.write(json.dumps({"batch": b, "records": recs}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        flush_buf.clear()
+
     t0 = time.time()
     roll_state = [t0, 0]  # rolling-window rate (compile amortizes out)
 
@@ -124,8 +218,7 @@ def main(argv=None, max_batches=None, stats_out=None):
     from gstx.core.profiling import annotate
 
     def dispatch(idx, batch):
-        nonlocal rng
-        rng, key = jax.random.split(rng)
+        key = jax.random.fold_in(base_rng, idx)
         # partial final batches pad to a data-axis multiple; padded rows
         # (repeats of row 0) are sliced away in consume
         batch, n_valid = pad_batch_rows(batch, dp)
@@ -154,13 +247,14 @@ def main(argv=None, max_batches=None, stats_out=None):
         _collect(idx, image_ids, questions, answers, ppls, abnormal)
 
     def _collect(idx, image_ids, questions, answers, ppls, abnormal):
+        batch_records = []
         for j in range(len(image_ids)):
             if abnormal[j]:
                 continue  # generate.py:236-237
             img_id = int(image_ids[j])
             url = image_id_to_url.get(str(img_id), "")
             cap = url_to_cap.get(url, "")
-            gen_data.append({
+            batch_records.append({
                 "image_id": img_id,
                 "url": url,
                 "caption": cap,
@@ -177,9 +271,14 @@ def main(argv=None, max_batches=None, stats_out=None):
                     for r in range(config.num_dialog_rounds)
                 ],
             })
+        gen_data.extend(batch_records)
+        if sidecar is not None:
+            flush_buf.append((idx, batch_records))
+            if len(flush_buf) >= config.flush_every:
+                flush_sidecar()
         if idx % 10 == 0:
             now = time.time()
-            done = (idx + 1) * config.batch_size
+            done = (idx + 1 - start_batch) * config.batch_size
             rate = done / (now - t0)
             roll = ((done - roll_state[1]) / (now - roll_state[0])
                     if idx else rate)
@@ -195,7 +294,8 @@ def main(argv=None, max_batches=None, stats_out=None):
 
     depth = max(1, config.pipeline)
     with trace(config.trace_dir):
-        for idx, batch in enumerate(loader.epoch(0)):
+        for idx, batch in enumerate(loader.epoch(0, start_batch=start_batch),
+                                    start=start_batch):
             if max_batches is not None and idx >= max_batches:
                 break
             dispatch(idx, batch)
@@ -204,15 +304,12 @@ def main(argv=None, max_batches=None, stats_out=None):
         while pending:
             drain()
 
-    save_name = config.save_name
-    if proc_count > 1:
-        # per-host output shard (hosts stripe the dataset independently);
-        # the training-side loader reassembles name.procN shards in
-        # process order (gstx.data.cc12m.load_dialog_json)
-        root, ext = os.path.splitext(save_name)
-        save_name = f"{root}.proc{proc_idx}{ext}"
-    out_path = os.path.join(config.save_path, save_name)
+    if not finalize:
+        return gen_data  # simulated preemption: sidecar holds the progress
+    flush_sidecar()
     json.dump(gen_data, open(out_path, "w"))
+    if sidecar is not None and os.path.exists(sidecar):
+        os.remove(sidecar)
     print(f"[generate] wrote {len(gen_data)} dialogs to {out_path}")
     return gen_data
 

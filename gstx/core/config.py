@@ -255,6 +255,15 @@ class GSTConfig:
     pipeline: int = 2  # generate: batches in flight (async dispatch while
     # the previous batch's results transfer/decode; depths 1/2/3 measured
     # 12,177/12,175/12,149 tok/s/chip — device-bound, 2 covers host syncs)
+    flush_every: int = 20  # generate: append completed batches to a
+    # <out>.partial.jsonl sidecar every N batches so a preempted chunk run
+    # (the reference dumps JSON only at the very end, generate.py:258 —
+    # ~65 min of work per 120k-image chunk shard) can resume instead of
+    # restarting; 0 disables the sidecar (reference behavior)
+    resume_generation: bool = True  # generate: when a sidecar whose meta
+    # matches this run exists, splice its completed batches and continue
+    # from the first unfinished batch (per-batch rng is fold_in(seed, idx),
+    # so resumed token streams == uninterrupted ones)
 
     def encoder_config(self) -> EncoderConfig:
         if self.model_enc_config:

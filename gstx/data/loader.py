@@ -62,7 +62,11 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch_id: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch_id: int = 0,
+              start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """``start_batch``: resume mid-epoch without paying the host cost of
+        the skipped batches (items get per-(epoch, index) seeds, so batch
+        ``i`` is identical whether or not 0..i-1 were fetched)."""
         order = self._order(epoch_id)
         n = len(order)
         nb = len(self)
@@ -75,17 +79,17 @@ class DataLoader:
             return collate(items)
 
         if self.num_workers <= 1:
-            for i in range(nb):
+            for i in range(start_batch, nb):
                 yield fetch(i)
             return
 
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
             depth = max(1, self.prefetch)
-            for i in range(min(depth, nb)):
+            for i in range(start_batch, min(start_batch + depth, nb)):
                 pending.append(pool.submit(fetch, i))
-            nxt = len(pending)
-            for i in range(nb):
+            nxt = start_batch + len(pending)
+            for i in range(start_batch, nb):
                 batch = pending.pop(0).result()
                 if nxt < nb:
                     pending.append(pool.submit(fetch, nxt))

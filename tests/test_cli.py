@@ -80,6 +80,71 @@ def test_cli_generate(cli_env):
         assert "answer_ppl" in rec["dialog"][0]
 
 
+def test_cli_generate_resume_identical(cli_env):
+    """Preemption recovery: a generate run killed mid-chunk resumes from its
+    partial sidecar and produces the byte-identical final JSON (per-batch
+    fold_in rng + per-(epoch,index) loader item seeds make every batch
+    restart-invariant)."""
+    from gstx.cli.generate import main
+
+    args, cfg, ckpt = cli_env
+    base = ["-mode", "vd_gen_val", "-start_path_q", ckpt,
+            "-start_path_a", ckpt, "-batch_size", "2",
+            "-num_dialog_rounds", "2", "-max_dec_len", "6",
+            "-flush_every", "1"]
+    # uninterrupted reference over the full 4-dialog fixture (2 batches)
+    ref = main(args + base + ["-save_name", "ref.json"])
+    assert len(ref) > 2  # both batches contribute records
+
+    # "preempted" run: batch 0 completes + flushes, then the process dies
+    # before the final write (finalize=False is the preemption seam)
+    partial = main(args + base + ["-save_name", "res.json"],
+                   max_batches=1, finalize=False)
+    sidecar = os.path.join(cfg.save_path, "res.json.partial.jsonl")
+    assert os.path.exists(sidecar)
+    assert 0 < len(partial) < len(ref)
+    assert not os.path.exists(os.path.join(cfg.save_path, "res.json"))
+
+    # restart: recovers batch 0 from the sidecar, generates only batch 1
+    resumed = main(args + base + ["-save_name", "res.json"])
+    assert resumed == ref
+    assert json.load(open(os.path.join(cfg.save_path, "res.json"))) == ref
+    assert not os.path.exists(sidecar)  # cleaned up on success
+
+
+def test_cli_generate_resume_torn_tail_and_mismatch(cli_env):
+    """The sidecar protocol survives a mid-append kill (torn trailing line
+    is dropped, its batch regenerates) and refuses sidecars written by a
+    different run (meta mismatch -> fresh start, not silent corruption)."""
+    from gstx.cli.generate import main
+
+    args, cfg, ckpt = cli_env
+    base = ["-mode", "vd_gen_val", "-start_path_q", ckpt,
+            "-start_path_a", ckpt, "-batch_size", "2",
+            "-num_dialog_rounds", "1", "-max_dec_len", "4",
+            "-flush_every", "1"]
+    ref = main(args + base + ["-save_name", "torn_ref.json"])
+
+    main(args + base + ["-save_name", "torn.json"],
+         max_batches=1, finalize=False)
+    sidecar = os.path.join(cfg.save_path, "torn.json.partial.jsonl")
+    with open(sidecar, "a") as f:
+        f.write('{"batch": 1, "records": [{"image_id"')  # torn mid-append
+    resumed = main(args + base + ["-save_name", "torn.json"])
+    assert resumed == ref
+
+    # a sidecar from a different run must not be spliced in: preempt at
+    # 1 round/dialog, "resume" at 2 — meta mismatch forces a fresh start,
+    # so every record has 2 rounds (a wrong splice would leave 1-round
+    # records from the stale sidecar)
+    main(args + base + ["-save_name", "mm.json"],
+         max_batches=1, finalize=False)
+    fresh = main(args + base + ["-save_name", "mm.json",
+                                "-num_dialog_rounds", "2"])
+    assert len(fresh) >= len(ref)
+    assert all(len(rec["dialog"]) == 2 for rec in fresh)
+
+
 @pytest.mark.slow
 def test_cli_train_gen_steps(cli_env):
     from gstx.cli.train_gen import main

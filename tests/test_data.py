@@ -338,6 +338,23 @@ def test_loader_determinism(visdial_env):
     assert b1[0]["enc_input_ids"].shape[0] == 2
 
 
+def test_loader_start_batch_matches_full_iteration(visdial_env):
+    """epoch(start_batch=k) yields exactly the tail of the full iteration —
+    the property generation resume relies on (per-(epoch,index) item seeds
+    make batch i independent of whether 0..i-1 were fetched)."""
+    from gstx.data.visdial import VisdialGenDataset
+
+    cfg, tok = visdial_env
+    ds = VisdialGenDataset(cfg, tok, mode="vd_train")
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=7)
+    full = list(dl.epoch(0))
+    tail = list(dl.epoch(0, start_batch=1))
+    assert len(tail) == len(full) - 1
+    for x, y in zip(full[1:], tail):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+
+
 def test_disc_train_dense_pseudo_labels(visdial_env, tmp_path):
     """-train_dense swaps negative-sample NSP labels for pseudo scores from
     the dense train file (dataloader_visdial_disc.py:240-246)."""
