@@ -63,6 +63,9 @@ def main():
                     help="override rounds (6 keeps worst-case contexts "
                          "under max_seq_len so dialog JSON really writes)")
     ap.add_argument("-root", type=str, default="/tmp/gstx_gen_bench")
+    ap.add_argument("-flush_every", type=int, default=-1,
+                    help="forwarded to cli/generate when >=0 (A/B the "
+                         "preemption-recovery sidecar's host cost)")
     args = ap.parse_args()
 
     root = args.root
@@ -118,6 +121,8 @@ def main():
     ]
     if args.num_dialog_rounds:
         argv += ["-num_dialog_rounds", str(args.num_dialog_rounds)]
+    if args.flush_every >= 0:
+        argv += ["-flush_every", str(args.flush_every)]
     stats = {}
     t0 = time.time()
     gen = generate_main(argv, max_batches=args.n_batches, stats_out=stats)
