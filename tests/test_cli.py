@@ -145,6 +145,31 @@ def test_cli_generate_resume_torn_tail_and_mismatch(cli_env):
     assert all(len(rec["dialog"]) == 2 for rec in fresh)
 
 
+def test_cli_generate_resume_unflushed_tail(cli_env):
+    """flush_every > 1: batches completed after the last flush are NOT in
+    the sidecar and must regenerate on resume (only the flushed prefix is
+    recovered), still converging to the uninterrupted output."""
+    from gstx.cli.generate import main
+
+    args, cfg, ckpt = cli_env
+    base = ["-mode", "vd_gen_val", "-start_path_q", ckpt,
+            "-start_path_a", ckpt, "-batch_size", "1",
+            "-num_dialog_rounds", "1", "-max_dec_len", "4",
+            "-flush_every", "2"]  # 4 dialogs -> 4 batches, flush per 2
+    ref = main(args + base + ["-save_name", "tail_ref.json"])
+
+    # preempt after 3 completed batches: 0-1 flushed, 2 lost in flush_buf
+    main(args + base + ["-save_name", "tail.json"],
+         max_batches=3, finalize=False)
+    sidecar = os.path.join(cfg.save_path, "tail.json.partial.jsonl")
+    lines = open(sidecar).read().splitlines()
+    assert len(lines) == 3  # meta header + batches 0,1 only
+
+    resumed = main(args + base + ["-save_name", "tail.json"])
+    assert resumed == ref
+    assert not os.path.exists(sidecar)
+
+
 @pytest.mark.slow
 def test_cli_train_gen_steps(cli_env):
     from gstx.cli.train_gen import main
