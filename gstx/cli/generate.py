@@ -307,7 +307,12 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
     if not finalize:
         return gen_data  # simulated preemption: sidecar holds the progress
     flush_sidecar()
-    json.dump(gen_data, open(out_path, "w"))
+    # write-tmp-then-swap (same pattern as checkpoint saves): a kill during
+    # the final dump must not leave a torn JSON for the training loader —
+    # the sidecar is only removed once the swap has landed
+    with open(out_path + ".tmp", "w") as f:
+        json.dump(gen_data, f)
+    os.replace(out_path + ".tmp", out_path)
     if sidecar is not None and os.path.exists(sidecar):
         os.remove(sidecar)
     print(f"[generate] wrote {len(gen_data)} dialogs to {out_path}")
