@@ -42,7 +42,15 @@ def _process_info():
 
 def _sidecar_meta(config, proc_idx, proc_count, n_items):
     """Identity of a generation run: a partial sidecar is only resumable by
-    a run that would produce the identical batch sequence."""
+    a run that would produce the identical batch sequence.  Every setting
+    that can change the generated tokens is part of the identity — data
+    selection (seed/batch/mode/chunk/ckpts), decode semantics (rounds,
+    length, sampling, n-gram blocking) and numerics (dtype, kernels,
+    quantization, bucket schedule, tensor-parallel degree, which drifts
+    bf16 reductions).  ``data_parallel`` is deliberately absent: mesh
+    data-sharding is pinned bitwise-identical to single-device by
+    tests/test_dialog_engine_mesh.py, so resuming across a different DP
+    degree is safe."""
     return {
         "seed": config.seed,
         "batch_size": config.batch_size,
@@ -52,6 +60,16 @@ def _sidecar_meta(config, proc_idx, proc_count, n_items):
         "max_dec_len": config.max_dec_len,
         "start_path_q": config.start_path_q,
         "start_path_a": config.start_path_a,
+        "temperature": config.temperature,
+        "top_k": config.top_k,
+        "top_p": config.top_p,
+        "ngram_blocking_size": config.ngram_blocking_size,
+        "dtype": config.dtype,
+        "use_pallas": config.use_pallas,
+        "quantize_memory": config.quantize_memory,
+        "context_buckets": config.context_buckets,
+        "dynamic_buckets": config.dynamic_buckets,
+        "model_parallel": config.model_parallel,
         "process": [proc_idx, proc_count],
         "n_items": n_items,
     }
@@ -203,6 +221,10 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
     bf16_upload = config.dtype == "bfloat16"
     if bf16_upload:
         import ml_dtypes
+    if mesh is not None:
+        from gstx.core.mesh import batch_sharding
+
+        batch_sh = batch_sharding(mesh)
 
     def to_device(k, v):
         # bf16 engines cast image features/locations to bf16 on device
@@ -213,6 +235,12 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
         if bf16_upload and v.dtype == np.float32 \
                 and k in ("enc_image_feat", "enc_image_loc"):
             v = v.astype(ml_dtypes.bfloat16)
+        if mesh is not None:
+            # place host->device with the engine's data-axis sharding in
+            # ONE transfer; the engine's own shard_batch then no-ops
+            # (without this, jnp.asarray commits the whole batch to the
+            # default device and the engine reshards it device-to-device)
+            return jax.device_put(v, batch_sh)
         return jnp.asarray(v)
 
     from gstx.core.profiling import annotate

@@ -37,8 +37,21 @@ def main(argv=None, input_fn=input, output_fn=print, max_turns=None):
 
     tokenizer = build_tokenizer(config)
     dataset = VisdialGenDataset(config, tokenizer, mode="vd_gen_val")
-    model, enc_cfg, dec_cfg = build_model(config)
+    # mesh stand-in for the reference's DataParallel wrap (inference.py:64).
+    # The REPL decodes a single dialog (batch 1), so the data axis buys
+    # nothing — the mesh matters for -model_parallel > 1, which places the
+    # params Megatron-TP so configs larger than one chip's HBM still serve.
+    from gstx.cli.common import make_generation_mesh
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
+
+    mesh = make_generation_mesh(config)
+    set_tensor_parallel_from_mesh(mesh)
+    model, enc_cfg, dec_cfg = build_model(config, mesh=mesh)
     params = load_params(model, config, config.start_path)
+    if mesh is not None:
+        from gstx.core.mesh import shard_by_path
+
+        params = shard_by_path(mesh, params)
     settings = DecodeSettings(
         max_steps=config.max_dec_len, temperature=config.temperature,
         top_k=config.top_k, top_p=config.top_p, ngram_blocking_size=0)

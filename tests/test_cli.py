@@ -170,6 +170,41 @@ def test_cli_generate_resume_unflushed_tail(cli_env):
     assert not os.path.exists(sidecar)
 
 
+def test_sidecar_meta_covers_output_affecting_settings(cli_env):
+    """Every setting that changes the generated tokens is part of the
+    sidecar identity: a resume under different decode semantics (sampling,
+    numerics, kernels, buckets, TP degree) must NOT splice stale batches.
+    ``data_parallel`` is exempt (mesh data-sharding is pinned bitwise-
+    identical to single-device)."""
+    from gstx.cli.generate import _sidecar_meta
+
+    args, cfg, _ = cli_env
+    base = parse_config(args + ["-mode", "vd_gen_val"],
+                        "sidecar meta test")
+    ref = _sidecar_meta(base, 0, 1, 4)
+    changed = {
+        "seed": 99, "batch_size": 7, "mode": "cc12m_gen", "chunk": 3,
+        "num_dialog_rounds": 5, "max_dec_len": 9,
+        "start_path_q": "other_q.ckpt", "start_path_a": "other_a.ckpt",
+        "temperature": 1.3, "top_k": 1, "top_p": 0.9,
+        "ngram_blocking_size": 2,
+        "dtype": "bfloat16" if base.dtype == "float32" else "float32",
+        "use_pallas": not base.use_pallas, "quantize_memory": True,
+        "context_buckets": "64,128", "dynamic_buckets": True,
+        "model_parallel": 2,
+    }
+    for field, value in changed.items():
+        other = _sidecar_meta(base.replace(**{field: value}), 0, 1, 4)
+        assert other != ref, f"{field} change must invalidate the sidecar"
+    # process identity and item count are part of the meta too
+    assert _sidecar_meta(base, 1, 2, 4) != ref
+    assert _sidecar_meta(base, 0, 1, 5) != ref
+    # an identically-configured run IS resumable
+    assert _sidecar_meta(base, 0, 1, 4) == ref
+    # data_parallel is deliberately NOT in the identity
+    assert _sidecar_meta(base.replace(data_parallel=2), 0, 1, 4) == ref
+
+
 @pytest.mark.slow
 def test_cli_train_gen_steps(cli_env):
     from gstx.cli.train_gen import main
