@@ -79,9 +79,10 @@ def main(argv=None, max_steps=None):
 
     # multi-host: each host loads its stripe of the identically-shuffled
     # global order; local stripes assemble into globally-sharded arrays
+    from gstx.core.mesh import local_batch_size
+
     n_proc = jax.process_count()
-    local_bs = config.batch_size // n_proc if n_proc > 1 else \
-        config.batch_size
+    local_bs = local_batch_size(config.batch_size, n_proc)
     loader = DataLoader(dataset, batch_size=local_bs, shuffle=True,
                         num_workers=config.num_workers, seed=config.seed,
                         process_index=jax.process_index(),

@@ -125,6 +125,23 @@ def auto_data_parallel(batch_size: int, n_devices: Optional[int] = None) -> int:
     return 1
 
 
+def local_batch_size(batch_size: int, n_proc: Optional[int] = None) -> int:
+    """Per-host slice of the global batch for multi-host training.  The
+    global batch must split evenly: a silent floor division would shrink
+    the real global batch away from the one num_iter_epoch / the LR
+    schedule / auto_data_parallel were computed for."""
+    if n_proc is None:
+        n_proc = jax.process_count()
+    if n_proc <= 1:
+        return batch_size
+    if batch_size % n_proc != 0:
+        raise ValueError(
+            f"-batch_size {batch_size} must be divisible by the process "
+            f"count {n_proc} (each host contributes batch_size/process_count "
+            "rows to the global batch)")
+    return batch_size // n_proc
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -294,8 +311,3 @@ def pad_batch_rows(batch, multiple: int):
     return batch, n
 
 
-def local_batch_size(global_batch: int, mesh: Mesh) -> int:
-    n = mesh.shape[DATA_AXIS]
-    if global_batch % n != 0:
-        raise ValueError(f"global batch {global_batch} not divisible by {n}-way DP")
-    return global_batch // n

@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import re
 from typing import Optional
 
 import numpy as np
@@ -161,10 +162,13 @@ def load_dialog_json(path: str):
     single-host run, a multi-host run, and a mixed directory all load
     deterministically."""
     root, ext = os.path.splitext(path)
-    shards = sorted(
-        _glob.glob(f"{_glob.escape(root)}.proc*{ext}"),
-        key=lambda p: int(
-            p[len(root) + len(".proc"):len(p) - len(ext)]))
+    # only real .procN shards (N a bare integer) count — a sibling like
+    # name.proc_backup.ext would match the glob but is not a shard
+    shard_re = re.compile(
+        re.escape(root) + r"\.proc(\d+)" + re.escape(ext) + r"$")
+    matches = [(m, p) for p in _glob.glob(f"{_glob.escape(root)}.proc*{ext}")
+               if (m := shard_re.match(p))]
+    shards = [p for m, p in sorted(matches, key=lambda mp: int(mp[0].group(1)))]
     paths = ([path] if os.path.exists(path) else []) + shards
     if not paths:
         raise FileNotFoundError(

@@ -128,6 +128,18 @@ def convert_hf_bert_mlm_state_dict(sd: Dict[str, np.ndarray],
     return tree
 
 
+def _infer_heads(hidden_size: int) -> int:
+    """num_attention_heads under the bert-base dh=64 convention; the head
+    count is not recoverable from checkpoint shapes, so refuse to guess
+    when the convention cannot hold."""
+    if hidden_size % 64 != 0:
+        raise ValueError(
+            f"cannot infer num_attention_heads: hidden_size "
+            f"{hidden_size} is not a multiple of head_dim 64 — "
+            "pass an explicit config to load_mlm_attacker")
+    return max(1, hidden_size // 64)
+
+
 def load_mlm_attacker(path: str, config: Optional[EncoderConfig] = None):
     """Load the standalone attacker from ``-mlm_path``: a torch state dict
     (.bin/.pt/.ckpt file) or an orbax checkpoint dir holding a BertMLM tree.
@@ -147,11 +159,7 @@ def load_mlm_attacker(path: str, config: Optional[EncoderConfig] = None):
             # (mirrors the torch branch below); num_attention_heads is not
             # recoverable from the fused-QKV shapes, so use the bert-base
             # dh=64 convention the reference attacker follows
-            if word.shape[1] % 64 != 0:
-                raise ValueError(
-                    f"cannot infer num_attention_heads: hidden_size "
-                    f"{word.shape[1]} is not a multiple of head_dim 64 — "
-                    "pass an explicit config to load_mlm_attacker")
+            _infer_heads(word.shape[1])
             inter = np.asarray(
                 inner["layer_0"]["ffn"]["intermediate"]["kernel"]).shape[1]
             max_pos = np.asarray(
@@ -160,7 +168,7 @@ def load_mlm_attacker(path: str, config: Optional[EncoderConfig] = None):
             config = mlm_config(
                 vocab_size=word.shape[0], hidden_size=word.shape[1],
                 num_hidden_layers=n_layers,
-                num_attention_heads=max(1, word.shape[1] // 64),
+                num_attention_heads=_infer_heads(word.shape[1]),
                 intermediate_size=inter, max_position_embeddings=max_pos)
         return BertMLM(config), {"params": inner}
     sd = ckpt_lib.load_torch_checkpoint(path)
@@ -168,17 +176,12 @@ def load_mlm_attacker(path: str, config: Optional[EncoderConfig] = None):
     n_layers = len({k.split(".")[3] for k in sd
                     if k.startswith("bert.encoder.layer.")})
     if config is None:
-        if word.shape[1] % 64 != 0:
-            raise ValueError(
-                f"cannot infer num_attention_heads: hidden_size "
-                f"{word.shape[1]} is not a multiple of head_dim 64 — "
-                "pass an explicit config to load_mlm_attacker")
         inter = sd["bert.encoder.layer.0.intermediate.dense.weight"].shape[0]
         max_pos = sd["bert.embeddings.position_embeddings.weight"].shape[0]
         config = mlm_config(
             vocab_size=word.shape[0], hidden_size=word.shape[1],
             num_hidden_layers=n_layers,
-            num_attention_heads=max(1, word.shape[1] // 64),
+            num_attention_heads=_infer_heads(word.shape[1]),
             intermediate_size=inter, max_position_embeddings=max_pos)
     tree = convert_hf_bert_mlm_state_dict(sd, config.num_hidden_layers)
     return BertMLM(config), {"params": tree}

@@ -304,6 +304,13 @@ def test_cc12m_train_loads_multihost_proc_shards(visdial_env, tmp_path):
     assert [d["caption"] for d in loaded] == \
         [d["caption"] for d in base + s0 + s1]
 
+    # a sibling whose wildcard part is not a bare integer is NOT a shard
+    # (e.g. a human-made backup) — it must be ignored, not crash int()
+    (tmp_path / "dialogs.proc_backup.json").write_text("not even json")
+    again = load_dialog_json(str(tmp_path / "dialogs.json"))
+    assert [d["caption"] for d in again] == \
+        [d["caption"] for d in base + s0 + s1]
+
     # shards-only directory (the usual multi-host layout: no exact file)
     only = tmp_path / "only"
     only.mkdir()

@@ -344,3 +344,19 @@ def test_profiler_trace_capture(tmp_path):
     with trace(""):  # disabled: must not create anything or raise
         pass
     assert GSTConfig().trace_dir == ""
+
+
+def test_local_batch_size_divisibility():
+    """Multi-host trainers split the GLOBAL batch across hosts; a batch
+    size that does not divide the process count must fail loudly (a silent
+    floor division would desynchronize the real global batch from
+    num_iter_epoch / the LR schedule / auto_data_parallel)."""
+    import pytest
+
+    from gstx.core.mesh import local_batch_size
+
+    assert local_batch_size(72, 1) == 72
+    assert local_batch_size(72, 4) == 18
+    assert local_batch_size(6, 1) == 6
+    with pytest.raises(ValueError, match="divisible by the process count"):
+        local_batch_size(6, 4)
