@@ -271,6 +271,11 @@ def make_dialog_engine(
         hold the numpy batch (cli/generate) can pass it and skip the
         device round-trip sync that otherwise stalls the dispatch
         pipeline behind the previous batch's rounds."""
+        # the kernel TP gate is module-global and read at TRACE time (first
+        # call of each jitted program); re-assert THIS engine's setting per
+        # call so interleaved construction of TP and non-TP programs cannot
+        # bake the wrong gate (ffn.py's documented footgun)
+        set_tensor_parallel_from_mesh(mesh)
         round_fn = round_fn or jitted_round
         if mesh is not None:
             from gstx.core.mesh import shard_batch, shard_by_path

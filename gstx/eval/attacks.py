@@ -51,9 +51,10 @@ def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0,
     them.  Padded rows must carry ``gt_relevance == 0``: their gradient is
     exactly zero, so ``sign(0) == 0`` leaves them unperturbed."""
     from gstx.models.encdec import candidate_log_likelihood
-    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh, tp_gated
 
     # pallas kernels are GSPMD-opaque; gate them off under Megatron TP
+    # (re-asserted per call via tp_gated)
     set_tensor_parallel_from_mesh(mesh)
     in_shardings = None
     if mesh is not None:
@@ -99,8 +100,8 @@ def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0,
         return candidate_log_likelihood(logits, dec_ids)
 
     if in_shardings is not None:
-        return jax.jit(fgsm_scores, in_shardings=in_shardings)
-    return jax.jit(fgsm_scores)
+        return tp_gated(mesh, jax.jit(fgsm_scores, in_shardings=in_shardings))
+    return tp_gated(mesh, jax.jit(fgsm_scores))
 
 
 class TextAttack:

@@ -20,9 +20,10 @@ from gstx.models.encdec import GSTVisualDialog
 
 
 def make_nsp_scorer(model: GSTVisualDialog, mesh=None):
-    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh, tp_gated
 
     # pallas kernels are GSPMD-opaque; gate them off under Megatron TP
+    # (re-asserted per call via tp_gated)
     set_tensor_parallel_from_mesh(mesh)
     in_shardings = None
     if mesh is not None:
@@ -45,8 +46,8 @@ def make_nsp_scorer(model: GSTVisualDialog, mesh=None):
         return probs[:, 0]
 
     if in_shardings is not None:
-        return jax.jit(score_chunk, in_shardings=in_shardings)
-    return jax.jit(score_chunk)
+        return tp_gated(mesh, jax.jit(score_chunk, in_shardings=in_shardings))
+    return tp_gated(mesh, jax.jit(score_chunk))
 
 
 

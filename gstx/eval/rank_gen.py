@@ -31,10 +31,10 @@ def make_chunk_scorer(model: GSTVisualDialog, mesh=None):
     With ``mesh``, chunks shard over the data axis (DP evaluation: the
     10x100 options axis folds into the batch and splits across chips)."""
 
-    from gstx.kernels.ffn import set_tensor_parallel_from_mesh
+    from gstx.kernels.ffn import set_tensor_parallel_from_mesh, tp_gated
 
     # pallas kernels are GSPMD-opaque; gate them off when this scorer's
-    # mesh carries Megatron-TP weights (back on for a TP=1 build)
+    # mesh carries Megatron-TP weights (re-asserted per call via tp_gated)
     set_tensor_parallel_from_mesh(mesh)
     in_shardings = None
     if mesh is not None:
@@ -65,8 +65,8 @@ def make_chunk_scorer(model: GSTVisualDialog, mesh=None):
         return candidate_log_likelihood(logits, dec_ids, PAD_ID)
 
     if in_shardings is not None:
-        return jax.jit(score_chunk, in_shardings=in_shardings)
-    return jax.jit(score_chunk)
+        return tp_gated(mesh, jax.jit(score_chunk, in_shardings=in_shardings))
+    return tp_gated(mesh, jax.jit(score_chunk))
 
 
 def evaluate_gen(

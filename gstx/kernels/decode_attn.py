@@ -110,7 +110,12 @@ def maybe_quant_decode_attention(q, k_i8, v_i8, mask):
     None (callers fall back to the scale-folded XLA path)."""
     from gstx.kernels import ffn as _ffn
 
-    if not _KERNEL_ENABLED or not _ffn.is_enabled() or not _ffn._on_tpu():
+    # tensor_parallel_active(): pallas_call is GSPMD-opaque — under tensor
+    # parallelism the 'model'-sharded K/V heads would be all-gathered every
+    # decode step, so fall back to the partitionable jnp path (same gate as
+    # the fused-FFN kernels, ffn.py::maybe_fused_ffn)
+    if not _KERNEL_ENABLED or not _ffn.is_enabled() or not _ffn._on_tpu() \
+            or _ffn.tensor_parallel_active():
         return None
     if q.shape[2] != 1:
         return None

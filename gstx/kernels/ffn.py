@@ -55,10 +55,11 @@ def is_enabled() -> bool:
 # program factory (make_train_step, make_disc_train_step,
 # make_dialog_engine, the eval chunk scorers) sets this at BUILD time from
 # its own mesh — True or False — so building a TP=1 program restores the
-# kernels after a TP>1 one.  Caveat: the flag is read at TRACE time
-# (first call), so interleaving the construction of a TP and a non-TP
-# program before either has run keeps only the last builder's setting;
-# build-then-run each program, or re-build.
+# kernels after a TP>1 one.  The flag is read at TRACE time (first call of
+# each jitted program), so every program factory ALSO re-asserts its own
+# setting at call time (tp_gated below, or an inline set in the entry fn)
+# — interleaved construction of TP and non-TP programs then still bakes
+# the right gate into each.
 _TP_ACTIVE = False
 
 
@@ -77,6 +78,30 @@ def set_tensor_parallel_from_mesh(mesh):
 
 def tensor_parallel_active() -> bool:
     return _TP_ACTIVE
+
+
+def tp_gated(mesh, fn):
+    """Wrap a built (usually jitted) program so ITS tensor-parallel gate is
+    re-asserted at every call.  The gate is module-global and read at TRACE
+    time — the first call of each jitted program — so without this,
+    interleaved construction of TP and non-TP programs bakes the LAST
+    builder's setting into whichever traces first (the footgun documented
+    above _TP_ACTIVE).  The per-call cost is one bool store."""
+    import functools
+
+    @functools.wraps(fn)
+    def call(*args, **kwargs):
+        set_tensor_parallel_from_mesh(mesh)
+        return fn(*args, **kwargs)
+
+    if hasattr(fn, "lower"):
+        # jax.jit API passthrough (lowering traces too, so gate first)
+        def lower(*args, **kwargs):
+            set_tensor_parallel_from_mesh(mesh)
+            return fn.lower(*args, **kwargs)
+
+        call.lower = lower
+    return call
 
 
 def _on_tpu() -> bool:

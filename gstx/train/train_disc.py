@@ -58,7 +58,7 @@ def make_disc_train_step(model: GSTVisualDialog, optimizer,
     # HBM watermark and letting async-dispatched step chains reuse
     # buffers instead of accumulating live copies
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch, rng):
+    def _step(params, opt_state, batch, rng):
         rng_sample, rng_dropout = jax.random.split(rng)
         b, rounds, samples = batch["tokens"].shape[:3]
         total = b * rounds * samples
@@ -86,4 +86,9 @@ def make_disc_train_step(model: GSTVisualDialog, optimizer,
         metrics["loss"] = loss
         return params, opt_state, metrics
 
-    return step
+    # gate is read at TRACE time (first call / .lower): tp_gated re-asserts
+    # this program's setting per call so interleaved TP / non-TP program
+    # construction cannot bake the wrong gate into it
+    from gstx.kernels.ffn import tp_gated
+
+    return tp_gated(model.mesh, _step)

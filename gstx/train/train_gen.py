@@ -96,7 +96,7 @@ def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int,
     # HBM watermark and letting async-dispatched step chains reuse
     # buffers instead of accumulating live copies
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch, rng):
+    def _step(params, opt_state, batch, rng):
         dec_labels = batch["dec_labels"]
         flat_labels = dec_labels.reshape(-1, dec_labels.shape[-1])
         cand = (flat_labels.sum(-1) != 0).astype(jnp.float32)
@@ -119,7 +119,12 @@ def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int,
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"lm_loss": loss}
 
-    return step
+    # gate is read at TRACE time (first call / .lower): tp_gated re-asserts
+    # this program's setting per call so interleaved TP / non-TP program
+    # construction cannot bake the wrong gate into it
+    from gstx.kernels.ffn import tp_gated
+
+    return tp_gated(model.mesh, _step)
 
 
 def init_model_and_state(config: GSTConfig, rng,
@@ -193,9 +198,10 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
                               config.batch_multiply)
     # multi-host: each host loads its stripe of the identically-shuffled
     # global order; local stripes assemble into globally-sharded arrays
+    from gstx.core.mesh import local_batch_size
+
     n_proc = jax.process_count()
-    local_bs = config.batch_size // n_proc if n_proc > 1 else \
-        config.batch_size
+    local_bs = local_batch_size(config.batch_size, n_proc)
     loader = DataLoader(dataset, batch_size=local_bs, shuffle=True,
                         num_workers=config.num_workers, seed=config.seed,
                         process_index=jax.process_index(),

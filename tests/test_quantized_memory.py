@@ -21,6 +21,25 @@ def _mem(rng, b, h, m, dh, valid_m):
     return k, mask, binm
 
 
+def test_decode_kernel_gated_off_under_tensor_parallelism(monkeypatch):
+    """pallas_call is GSPMD-opaque: under Megatron TP the decode-step
+    kernel would all-gather the 'model'-sharded K/V every step, so
+    maybe_quant_decode_attention must fall back (return None) exactly like
+    the fused-FFN kernels do."""
+    from gstx.kernels import decode_attn, ffn
+
+    monkeypatch.setattr(decode_attn, "_KERNEL_ENABLED", True)
+    monkeypatch.setattr(ffn, "_on_tpu", lambda: True)
+    q = jnp.zeros((2, 4, 1, 8), jnp.bfloat16)
+    k = v = jnp.zeros((2, 4, 16, 8), jnp.int8)
+    mask = jnp.zeros((2, 1, 1, 16), jnp.float32)
+    ffn.set_tensor_parallel(True)
+    try:
+        assert decode_attn.maybe_quant_decode_attention(q, k, v, mask) is None
+    finally:
+        ffn.set_tensor_parallel(False)
+
+
 def test_quantization_error_bound():
     rng = np.random.RandomState(0)
     k, mask, binm = _mem(rng, 2, 3, 64, 16, valid_m=50)

@@ -250,6 +250,37 @@ def test_tp_gate_follows_builders(tiny_configs):
     assert not tensor_parallel_active()
 
 
+def test_tp_gate_reasserted_per_call():
+    """The gate is read at TRACE time (first call of each jitted program),
+    so interleaving the CONSTRUCTION of a TP and a non-TP program must not
+    bake the last builder's setting into both — every program entry
+    re-asserts its own gate at call time (ffn.tp_gated / the inline sets
+    in make_dialog_engine and the train steps)."""
+    from gstx.kernels.ffn import (
+        set_tensor_parallel,
+        tensor_parallel_active,
+        tp_gated,
+    )
+
+    observed = []
+    tp_prog = tp_gated(make_mesh(4, 2), lambda: observed.append(
+        tensor_parallel_active()))
+    dp_prog = tp_gated(make_mesh(8, 1), lambda: observed.append(
+        tensor_parallel_active()))
+    nomesh_prog = tp_gated(None, lambda: observed.append(
+        tensor_parallel_active()))
+    # simulate the footgun: some later builder flipped the global before
+    # either program first runs (traces)
+    set_tensor_parallel(True)
+    dp_prog()
+    tp_prog()
+    nomesh_prog()
+    set_tensor_parallel(False)
+    tp_prog()
+    assert observed == [False, True, False, True]
+    set_tensor_parallel(False)  # leave the global clean for other tests
+
+
 def test_validate_model_parallel():
     from gstx.core.mesh import validate_model_parallel
 
