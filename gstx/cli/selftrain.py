@@ -116,7 +116,10 @@ def main(argv=None, dry_run=False):
                   f" (attempt {attempt + 1}); retrying", flush=True)
         if proc.returncode != 0:
             try:
-                with open(log_path) as f:
+                # errors='replace': the log captures raw subprocess bytes —
+                # a non-UTF-8 byte must not mask the real failure with a
+                # UnicodeDecodeError here
+                with open(log_path, errors="replace") as f:
                     tail = "".join(f.readlines()[-30:])
             except OSError:
                 tail = "<no log>"

@@ -86,7 +86,10 @@ def main(argv=None, max_steps=None):
     loader = DataLoader(dataset, batch_size=local_bs, shuffle=True,
                         num_workers=config.num_workers, seed=config.seed,
                         process_index=jax.process_index(),
-                        process_count=n_proc)
+                        process_count=n_proc,
+                        # batches assemble COLLECTIVELY across hosts: every
+                        # host must see the same batch count per epoch
+                        even_stripes=True)
     rng = jax.random.PRNGKey(config.seed)
     start_t = time.time()
     # -trace_dir: device trace of the training loop (no-op when unset)

@@ -65,9 +65,17 @@ def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
     ckptr.save(tmp, payload)
     barrier("gstx:ckpt_written")
     if not multiproc or jax.process_index() == 0:
+        # three-step swap: at EVERY instant either `path` or `path.old`
+        # holds a complete checkpoint (a plain rmtree-then-replace had a
+        # kill window with neither; restore_checkpoint falls back to .old)
+        old = path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(path):
-            shutil.rmtree(path)
+            os.replace(path, old)
         os.replace(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
     barrier("gstx:ckpt_swapped")
 
 
@@ -75,6 +83,12 @@ def restore_checkpoint(path: str, template=None):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        # a kill landed inside save_checkpoint's swap: the previous
+        # complete checkpoint survives at .old
+        print(f"[checkpoint] {path} missing after an interrupted swap; "
+              "restoring the surviving previous copy at .old")
+        path = path + ".old"
     ckptr = ocp.PyTreeCheckpointer()
     if template is not None:
         return ckptr.restore(path, item=template)
@@ -156,7 +170,11 @@ def convert_torch_state_dict(
             break
     if enc_p is None:
         raise ValueError("no recognizable encoder prefix in state dict")
-    cls_p = enc_p.rsplit(".bert", 1)[0] + ".cls"
+    # every candidate ends in 'bert'; the cls head lives beside it — for the
+    # bare 'bert' flavor (a raw BertForMultiModalPreTraining state dict)
+    # that is top-level 'cls', NOT 'bert.cls' (rsplit('.bert') would never
+    # match the bare prefix)
+    cls_p = enc_p[: -len("bert")] + "cls"
 
     tree: dict = {}
 

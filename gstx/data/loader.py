@@ -25,10 +25,22 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
                  seed: int = 0, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 even_stripes: bool = False):
         """``process_index/process_count``: multi-host striping — each host
         iterates only its slice of the (identically shuffled) global order,
-        so per-host batches concatenate into a consistent global batch."""
+        so per-host batches concatenate into a consistent global batch.
+
+        ``even_stripes``: truncate the global order to a process_count
+        multiple BEFORE striping so every host sees the SAME number of
+        items (and therefore batches) per epoch.  Required whenever the
+        per-host batches assemble collectively (training via
+        make_array_from_process_local_data): ragged stripes would let some
+        hosts roll into the next epoch while others still feed the
+        collective, desynchronizing iter_id and the checkpoint barriers.
+        Drops < process_count items per epoch (different ones each epoch
+        under shuffle).  Leave False for independent per-host work
+        (generation/eval shards), where every item must be covered."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -38,6 +50,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = max(1, process_count)
+        self.even_stripes = even_stripes
         # detect seed support ONCE by signature: a try/except TypeError in
         # _get would silently mask TypeErrors raised inside dataset code
         import inspect
@@ -48,16 +61,26 @@ class DataLoader:
         except (TypeError, ValueError):
             self._seeded = False
 
+    def _stripe_len(self) -> int:
+        n = len(self.dataset)
+        if self.even_stripes:
+            return n // self.process_count
+        # len(range(process_index, n, process_count))
+        return max(0, (n - self.process_index + self.process_count - 1)
+                   // self.process_count)
+
     def _order(self, epoch_id: int) -> np.ndarray:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             # same seed on every host -> identical global order
             np.random.RandomState(self.seed + epoch_id).shuffle(order)
+        if self.even_stripes:
+            order = order[: n - n % self.process_count]
         return order[self.process_index::self.process_count]
 
     def __len__(self) -> int:
-        n = len(self._order(0))
+        n = self._stripe_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

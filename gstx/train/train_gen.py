@@ -205,7 +205,10 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
     loader = DataLoader(dataset, batch_size=local_bs, shuffle=True,
                         num_workers=config.num_workers, seed=config.seed,
                         process_index=jax.process_index(),
-                        process_count=n_proc)
+                        process_count=n_proc,
+                        # batches assemble COLLECTIVELY across hosts: every
+                        # host must see the same batch count per epoch
+                        even_stripes=True)
 
     start_t = time.time()
     start_epoch = start_iter_id // max(1, num_iter_epoch)

@@ -143,3 +143,42 @@ def test_orbax_save_restore_tensor_parallel_sharded(tiny_model, tmp_path):
             jax.tree_util.tree_leaves_with_path(restored["params"])):
         assert p1 == p2
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bare_bert_prefix(tiny_model):
+    """A raw BertForMultiModalPreTraining state dict ('bert.*' + top-level
+    'cls.*', the third flavor convert_torch_state_dict supports) converts:
+    the cls head must resolve to 'cls', not 'bert.cls'."""
+    model, params, batch, enc_cfg, dec_cfg = tiny_model
+    sd = to_torch_state_dict(params, with_decoder=False,
+                             enc_prefix="bert_pretrained")
+    bare = {k[len("bert_pretrained."):]: v for k, v in sd.items()}
+    assert any(k.startswith("bert.") for k in bare)
+    assert any(k.startswith("cls.") for k in bare)
+    back = convert_torch_state_dict(
+        bare, enc_cfg.num_hidden_layers, enc_cfg.v_num_hidden_layers,
+        len(enc_cfg.v_biattention_id), dec_cfg.num_hidden_layers)
+    assert "encoder" in back and "cls" in back
+
+
+def test_interrupted_swap_recovers_previous(tiny_model, tmp_path):
+    """A kill inside save_checkpoint's swap never loses the previous
+    checkpoint: at every instant `path` or `path.old` is complete, and
+    restore_checkpoint falls back to .old."""
+    import os
+    import shutil
+
+    model, params, batch, enc_cfg, dec_cfg = tiny_model
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params, step=1)
+    # emulate the widest kill window: old checkpoint moved aside, the new
+    # one not yet swapped in (save died right before os.replace(tmp, path))
+    os.replace(path, path + ".old")
+    restored = restore_checkpoint(path)
+    assert int(restored["step"]) == 1
+    # the next save cleans up and lands normally
+    shutil.rmtree(path + ".old")
+    save_checkpoint(path, params, step=2)
+    assert not os.path.isdir(path + ".old")
+    assert not os.path.isdir(path + ".tmp")
+    assert int(restore_checkpoint(path)["step"]) == 2

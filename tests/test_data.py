@@ -391,3 +391,45 @@ def test_disc_train_dense_pseudo_labels(visdial_env, tmp_path):
         np.testing.assert_allclose(s + one_minus, 1.0, rtol=1e-6)
     # at least one pseudo score is fractional (not the hard [0, 1] default)
     assert any(0.0 < labels[j, 1, 0] < 1.0 for j in range(10))
+
+
+def test_loader_even_stripes_equal_batch_counts():
+    """Collectively-assembled training batches need every host to see the
+    SAME number of batches per epoch; even_stripes truncates the shuffled
+    global order to a process_count multiple before striping.  Default
+    striping (generation/eval shards) still covers every item."""
+    from gstx.data.loader import DataLoader
+
+    class Items:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i])}
+
+    ragged, even, seen_even = [], [], []
+    for pidx in range(4):
+        dl = DataLoader(Items(), batch_size=1, shuffle=True, drop_last=False,
+                        num_workers=1, seed=3, process_index=pidx,
+                        process_count=4)
+        ragged.append(len(dl))
+        dle = DataLoader(Items(), batch_size=1, shuffle=True, drop_last=False,
+                         num_workers=1, seed=3, process_index=pidx,
+                         process_count=4, even_stripes=True)
+        even.append(len(dle))
+        for b in dle.epoch(0):
+            seen_even.append(int(b["x"][0, 0]))
+    assert ragged == [3, 3, 2, 2]  # 10 items over 4 hosts is ragged
+    assert even == [2, 2, 2, 2]
+    # stripes are disjoint and cover exactly the truncated order
+    assert len(seen_even) == len(set(seen_even)) == 8
+
+    # default striping still covers the full dataset (per-host shards)
+    seen_all = []
+    for pidx in range(4):
+        dl = DataLoader(Items(), batch_size=1, shuffle=False,
+                        drop_last=False, num_workers=1, seed=0,
+                        process_index=pidx, process_count=4)
+        for b in dl.epoch(0):
+            seen_all.append(int(b["x"][0, 0]))
+    assert sorted(seen_all) == list(range(10))
