@@ -203,7 +203,13 @@ def make_dialog_engine(
         hist_ques = state.enc_input_ids * (state.enc_segments == 0)
         ques, _ = decode_utterance(
             q_params, state, image, rq, q_settings, hist_ques)
-        ques_len = (ques != PAD_ID).sum(-1)  # includes EOS, generate.py:145
+        # includes EOS (generate.py:145).  Deliberate reference-parity
+        # quirk: if the sampler draws PAD mid-utterance before EOS, the
+        # count undershoots and the copy keeps the PAD hole but drops the
+        # tail incl. SEP — exactly what the reference's
+        # ques_ids[:ques_len] copy does (generate.py:145-153).  Measure-
+        # zero with trained checkpoints (PAD is never high-probability).
+        ques_len = (ques != PAD_ID).sum(-1)
         state, _ = append_utterance(state, ques, ques_len,
                                     segment=0, write_segments=False)
 
@@ -257,6 +263,29 @@ def make_dialog_engine(
         return jax.tree_util.tree_map_with_path(cast, params)
 
     jitted_precast = jax.jit(_precast_params)
+    # engine() runs once per BATCH with the same param trees every time:
+    # memoize param placement (shard_by_path under a mesh) + the f32->bf16
+    # cast by INCOMING tree identity, so the full-tree passes (reading and
+    # rewriting the whole model) happen once per run instead of per batch.
+    # The memo keeps a strong ref to each key tree, so its id() cannot be
+    # recycled while an entry lives.
+    _prepare_memo = {}
+
+    def prepare_params(params):
+        hit = _prepare_memo.get(id(params))
+        if hit is not None and hit[0] is params:
+            return hit[1]
+        prepared = params
+        if mesh is not None:
+            from gstx.core.mesh import shard_by_path
+
+            prepared = shard_by_path(mesh, prepared)
+        if dtype == jnp.bfloat16:
+            prepared = jitted_precast(prepared)
+        while len(_prepare_memo) >= 2:  # questioner + answerer
+            _prepare_memo.pop(next(iter(_prepare_memo)))
+        _prepare_memo[id(params)] = (params, prepared)
+        return prepared
 
     def _widen(state: DialogState, pad: int) -> DialogState:
         return state._replace(
@@ -277,17 +306,13 @@ def make_dialog_engine(
         # bake the wrong gate (ffn.py's documented footgun)
         set_tensor_parallel_from_mesh(mesh)
         round_fn = round_fn or jitted_round
+        same = a_params is q_params
+        q_params = prepare_params(q_params)
+        a_params = q_params if same else prepare_params(a_params)
         if mesh is not None:
-            from gstx.core.mesh import shard_batch, shard_by_path
+            from gstx.core.mesh import shard_batch
 
-            same = a_params is q_params
-            q_params = shard_by_path(mesh, q_params)
-            a_params = q_params if same else shard_by_path(mesh, a_params)
             batch = shard_batch(mesh, batch)
-        if dtype == jnp.bfloat16:
-            same = a_params is q_params
-            q_params = jitted_precast(q_params)
-            a_params = q_params if same else jitted_precast(a_params)
         image = {
             "feat": batch["enc_image_feat"],
             "loc": batch["enc_image_loc"],

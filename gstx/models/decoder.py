@@ -134,6 +134,14 @@ class DecoderLayer(nn.Module):
         h = self.config.num_attention_heads
         q = split_heads(self.cross_q(x), h)
         if len(mem) == 4:
+            if not deterministic:
+                # the int8 path has no attention-dropout branch; failing
+                # loudly beats silently diverging from the (k, v) path's
+                # train-mode semantics
+                raise ValueError(
+                    "quantized cross-attention memory supports only "
+                    "deterministic=True (no attention-dropout path); "
+                    "pass unquantized (k, v) memory for training")
             ctx = self._quant_cross_attend(q, mem, mem_mask)
         else:
             mem_k, mem_v = mem
@@ -208,12 +216,6 @@ class DecoderLayer(nn.Module):
         x = self._self_block(x, q, k, v, self_mask, deterministic)
         x = self._cross_block(x, mem, mem_mask, deterministic)
         return self._ffn_block(x, deterministic)
-
-    def init_cache(self, batch: int, max_len: int) -> Cache:
-        h = self.config.num_attention_heads
-        dh = self.config.hidden_size // h
-        z = jnp.zeros((batch, h, max_len, dh), dtype=self.dtype)
-        return {"k": z, "v": z}
 
     def step(
         self,
@@ -330,9 +332,8 @@ class GSTDecoderModel(nn.Module):
         return x
 
     # ---- KV-cached decoding ----
-
-    def init_cache(self, batch: int, max_len: int) -> List[Cache]:
-        return [l.init_cache(batch, max_len) for l in self.layers]
+    # (cache layout is owned by gstx.decode.sampler.init_cache — the single
+    # implementation every decode entry point allocates through)
 
     def precompute_memory(self, memory: jnp.ndarray):
         """Per-layer cross K/V for a fixed memory — computed once per

@@ -17,14 +17,14 @@ Tying topology (matches trained reference checkpoints):
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from gstx.core.config import DecoderConfig, EncoderConfig
-from gstx.models.decoder import Cache, GSTDecoderModel
+from gstx.models.decoder import GSTDecoderModel
 from gstx.models.encoder import GSTEncoderModel
 from gstx.models.heads import PreTrainingHeads
 from gstx.models.layers import additive_mask, dense
@@ -202,9 +202,6 @@ class GSTVisualDialog(nn.Module):
             hidden_t, hidden_v, attention_mask, image_attention_mask, True)
         mem_kv = self.decoder.precompute_memory(memory)
         return mem_kv, additive_mask(memory_mask, dtype=self.dtype)
-
-    def init_cache(self, batch: int, max_len: int) -> List[Cache]:
-        return self.decoder.init_cache(batch, max_len)
 
     def decode_step(self, token_ids, pos, caches, memory_kv, memory_add_mask):
         """One decode step: token_ids [B, 1] at absolute position ``pos``.

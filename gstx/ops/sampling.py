@@ -96,8 +96,8 @@ def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     threshold is kept (decoding_utils.py:23-34)."""
     if top_p <= 0.0:
         return logits
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     sorted_idx = jnp.argsort(logits, axis=-1)[..., ::-1]
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
     cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
     remove = cum > top_p
     remove = jnp.concatenate(

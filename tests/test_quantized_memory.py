@@ -150,3 +150,49 @@ def test_f32_engine_never_quantizes(tiny_configs, monkeypatch):
     }
     engine(params, params, batch, jax.random.PRNGKey(0))
     assert not called
+
+
+def test_quantized_memory_rejects_dropout_mode(tiny_configs):
+    """The int8 cross-attention path has no attention-dropout branch; a
+    deterministic=False call must fail loudly instead of silently skipping
+    dropout on the cross block (train/eval divergence)."""
+    import pytest
+
+    from gstx.core.config import CLS_ID
+    from gstx.decode.sampler import init_cache
+    from gstx.models.encdec import GSTVisualDialog
+
+    enc_cfg, dec_cfg = tiny_configs
+    model = GSTVisualDialog(enc_cfg, dec_cfg)
+    B, S, R, T = 2, 8, 5, 4
+    rng = np.random.RandomState(0)
+    batch = dict(
+        input_ids=jnp.full((B, S), CLS_ID, jnp.int32),
+        image_feat=jnp.asarray(rng.randn(B, R, enc_cfg.v_feature_size),
+                               jnp.float32),
+        image_loc=jnp.asarray(rng.randn(B, R, 5), jnp.float32),
+        token_type_ids=jnp.zeros((B, S), jnp.int32),
+        attention_mask=jnp.ones((B, S), jnp.int32),
+        image_attention_mask=jnp.ones((B, R), jnp.int32),
+        dec_input_ids=jnp.full((B, T), 3, jnp.int32),
+        dec_attention_mask=jnp.ones((B, T), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), **batch,
+                        method=GSTVisualDialog.init_all)
+    mem_kv, mem_mask = model.apply(
+        params, batch["input_ids"], batch["image_feat"], batch["image_loc"],
+        batch["token_type_ids"], batch["attention_mask"],
+        batch["image_attention_mask"], method=GSTVisualDialog.decode_prepare)
+    mem_q = quantize_memory_kv(mem_kv, mem_mask, jnp.float32)
+
+    def run(mem, deterministic):
+        hidden = jnp.asarray(rng.randn(B, T, dec_cfg.hidden_size), jnp.float32)
+        self_mask = additive_mask(jnp.ones((B, T), jnp.float32))
+        return model.apply(
+            params, hidden, self_mask, mem, mem_mask, deterministic,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            method=lambda m, *a: m.decoder.layers[0].forward_with_memory_kv(
+                *a))
+
+    run(mem_q[0], True)  # deterministic int8 path works
+    with pytest.raises(ValueError, match="deterministic=True"):
+        run(mem_q[0], False)
