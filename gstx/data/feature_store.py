@@ -90,7 +90,10 @@ class FeatureStoreReader:
 
     def __new__(cls, path: str, in_memory: bool = False,
                 use_native: bool = True):
-        if use_native and cls is FeatureStoreReader:
+        # in_memory keeps the Python reader: NativeFeatureStore has no item
+        # cache, so substituting it would silently drop the requested
+        # caching (and the .path attribute)
+        if use_native and not in_memory and cls is FeatureStoreReader:
             try:
                 from gstx.native import NativeFeatureStore, load_library
 

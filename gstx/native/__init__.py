@@ -69,8 +69,8 @@ def load_library(build_if_missing: bool = False):
     lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.wp_encode.restype = ctypes.c_int
-    lib.wp_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, i32p,
-                              ctypes.c_int]
+    lib.wp_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                              ctypes.c_int, i32p, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -111,7 +111,12 @@ class NativeFeatureStore:
         loc_ori = np.empty((total, 5), np.float32)
         cls = np.empty((total, self.num_classes), np.float32)
         got = self._lib.gstf_read(self._h, image_id, feat, loc, loc_ori, cls)
-        assert got == total
+        if got != total:
+            # a bare assert would vanish under python -O and return the
+            # uninitialized np.empty buffers as features
+            raise IOError(
+                f"native gstf_read({image_id}) returned {got}, "
+                f"expected {total}")
         return feat, total, loc, loc_ori, cls
 
     def close(self):
@@ -136,17 +141,28 @@ class NativeWordPiece:
         self._h = self._lib.wp_load(vocab_path.encode())
         if not self._h:
             raise IOError(f"cannot load vocab: {vocab_path}")
-        self._buf = np.empty(max_ids, np.int32)
+        self._max_ids = max_ids
 
     def encode(self, text: str) -> Optional[List[int]]:
         try:
             raw = text.encode("ascii")
         except UnicodeEncodeError:
             return None
-        n = self._lib.wp_encode(self._h, raw, self._buf, len(self._buf))
+        # per-CALL buffer: ctypes releases the GIL during the C call, and
+        # the threaded DataLoader encodes concurrently — a shared buffer
+        # races and silently corrupts token ids.  wp_encode takes an
+        # explicit length (embedded NULs are deleted like the Python path,
+        # not treated as a terminator) and returns the TOTAL id count, so
+        # an overflowing text regrows the buffer instead of silently
+        # truncating.
+        buf = np.empty(self._max_ids, np.int32)
+        n = self._lib.wp_encode(self._h, raw, len(raw), buf, len(buf))
         if n < 0:
             return None
-        return self._buf[:n].tolist()
+        if n > len(buf):
+            buf = np.empty(n, np.int32)
+            n = self._lib.wp_encode(self._h, raw, len(raw), buf, len(buf))
+        return buf[:n].tolist()
 
     def close(self):
         if self._h:

@@ -91,13 +91,24 @@ void* gstf_open(const char* path) {
   s->data = static_cast<const uint8_t*>(mem);
   s->size = st.st_size;
 
-  Header h;
-  std::memcpy(&h, s->data, sizeof(Header));
-  if (std::memcmp(h.magic, "GSTF", 4) != 0 || h.version != 1) {
+  auto reject = [&]() {
     munmap(mem, st.st_size);
     ::close(fd);
     delete s;
     return nullptr;
+  };
+  // every header/index/record access is validated against the mapping so a
+  // truncated or corrupt store returns NULL / -1 (like the Python reader's
+  // struct.error) instead of SIGSEGV-ing the dataloader process
+  if (s->size < sizeof(Header)) return reject();
+  Header h;
+  std::memcpy(&h, s->data, sizeof(Header));
+  if (std::memcmp(h.magic, "GSTF", 4) != 0 || h.version != 1) {
+    return reject();
+  }
+  if (h.index_offset > s->size ||
+      h.num_items > (s->size - h.index_offset) / sizeof(IndexEntry)) {
+    return reject();
   }
   s->feat_dim = h.feat_dim;
   s->num_classes = h.num_classes;
@@ -108,6 +119,15 @@ void* gstf_open(const char* path) {
     IndexEntry e;
     std::memcpy(&e, p, sizeof(IndexEntry));
     p += sizeof(IndexEntry);
+    // record extent: n*(feat_dim + 4 + num_classes) f32 starting at offset
+    // (division form avoids uint64 overflow on hostile num_boxes values)
+    const uint64_t row_bytes = (static_cast<uint64_t>(h.feat_dim) + 4 +
+                                static_cast<uint64_t>(h.num_classes)) *
+                               sizeof(float);
+    if (e.offset > s->size || e.num_boxes == 0 ||
+        e.num_boxes > (s->size - e.offset) / row_bytes) {
+      return reject();
+    }
     s->keys.push_back(e.image_id);
     s->index[e.image_id] = Entry{e.offset, e.num_boxes, e.image_h, e.image_w};
   }
@@ -179,8 +199,12 @@ int gstf_read(void* handle, long long image_id, float* feat_out,
       feat_out[j] += row[j];
     }
   }
-  const float inv_n = 1.0f / static_cast<float>(n);
-  for (uint32_t j = 0; j < fd; ++j) feat_out[j] *= inv_n;
+  // divide, don't multiply by a reciprocal: numpy computes
+  // sum / n (feature_store.py:157) and the double rounding of
+  // sum * (1/n) diverges from it by 1 ulp on ~10% of elements —
+  // the bit-for-bit native invariant requires the same operation
+  const float fn = static_cast<float>(n);
+  for (uint32_t j = 0; j < fd; ++j) feat_out[j] /= fn;
 
   // locations: [x1, y1, x2, y2, rel_area]; row 0 = [0,0,1,1,1]
   loc_out[0] = 0;

@@ -6,15 +6,24 @@
 // cleanup, lowercasing, punctuation splitting, greedy longest-match-first
 // WordPiece; callers fall back to the Python tokenizer for non-ASCII text
 // (VisDial/CC12M captions are overwhelmingly ASCII).  Output ids match the
-// Python implementation exactly (tests/test_native.py fuzzes both).
+// Python implementation exactly (tests/test_native.py fuzzes both),
+// including the cleanup semantics: ' ', \t, \n, \r are word boundaries;
+// every other control byte (0x00-0x1f minus \t\n\r, and 0x7f) is DELETED
+// exactly like tokenizer.py::_clean_text (cp==0 / _is_control ->
+// dropped, not a boundary).
 //
 // C ABI (ctypes):
 //   void* wp_load(const char* vocab_path);     // NULL on error
 //   void  wp_free(void* handle);
 //   int   wp_vocab_size(void* handle);
-//   int   wp_encode(void* handle, const char* text, int* out_ids, int cap);
-//         // returns #ids, or -1 if the text has non-ASCII bytes (caller
-//         // must fall back), or -2 on other errors
+//   int   wp_encode(void* handle, const char* text, int text_len,
+//                   int* out_ids, int cap);
+//         // Returns the TOTAL number of ids the text produces (which may
+//         // exceed cap — only min(total, cap) are written; the caller
+//         // must regrow its buffer and retry when total > cap), or -1 if
+//         // the text has non-ASCII bytes (caller must fall back).
+//         // text_len is explicit so embedded NUL bytes are handled like
+//         // the Python path (deleted) instead of truncating the text.
 
 #include <cctype>
 #include <cstring>
@@ -99,9 +108,10 @@ int wp_vocab_size(void* handle) {
   return static_cast<int>(static_cast<Vocab*>(handle)->table.size());
 }
 
-int wp_encode(void* handle, const char* text, int* out_ids, int cap) {
+int wp_encode(void* handle, const char* text, int text_len, int* out_ids,
+              int cap) {
   const Vocab& v = *static_cast<Vocab*>(handle);
-  const size_t len = std::strlen(text);
+  const size_t len = text_len < 0 ? 0 : static_cast<size_t>(text_len);
   // ASCII gate: non-ASCII goes to the Python slow path
   for (size_t i = 0; i < len; ++i) {
     if (static_cast<unsigned char>(text[i]) > 127) return -1;
@@ -118,9 +128,13 @@ int wp_encode(void* handle, const char* text, int* out_ids, int cap) {
   for (size_t i = 0; i < len; ++i) {
     char c = text[i];
     unsigned char u = static_cast<unsigned char>(c);
-    if (u == 0) continue;
-    if (std::isspace(u) || std::iscntrl(u)) {
+    if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
       flush_word();
+      continue;
+    }
+    if (u < 0x20 || u == 0x7f) {
+      // control chars (incl. NUL, \v, \f) are DELETED, not boundaries —
+      // tokenizer.py:81 drops them before word splitting
       continue;
     }
     c = static_cast<char>(std::tolower(u));
@@ -134,11 +148,12 @@ int wp_encode(void* handle, const char* text, int* out_ids, int cap) {
   }
   flush_word();
 
-  const int n = static_cast<int>(ids.size() < static_cast<size_t>(cap)
-                                     ? ids.size()
-                                     : cap);
-  for (int i = 0; i < n; ++i) out_ids[i] = ids[i];
-  return n;
+  const size_t total = ids.size();
+  const size_t n = total < static_cast<size_t>(cap)
+                       ? total
+                       : static_cast<size_t>(cap);
+  for (size_t i = 0; i < n; ++i) out_ids[i] = ids[i];
+  return static_cast<int>(total);
 }
 
 }  // extern "C"
