@@ -35,6 +35,12 @@ def configure_platform():
     platform = os.environ.get("GSTX_PLATFORM")
     if not platform:
         return
+    if platform == "cpu":
+        # multi-virtual-device CPU collectives die on XLA's 40 s rendezvous
+        # watchdog under host load — relax it before backend init
+        from gstx.core.mesh import relax_cpu_collective_timeouts
+
+        relax_cpu_collective_timeouts()
     try:
         jax.config.update("jax_platforms", platform)
         n = os.environ.get("GSTX_NUM_CPU_DEVICES")

@@ -24,6 +24,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# XLA's CPU backend enforces a hard rendezvous deadline on cross-device
+# collectives (warn at 20 s, LogFatal-abort the whole process at 40 s,
+# xla/.../rendezvous.cc).  On an oversubscribed host a virtual multi-device
+# CPU mesh can miss that deadline just from scheduling starvation — observed:
+# a 2-device all-gather in a subprocess test stage aborting at 40 s while the
+# machine (1 core) ran a full test suite.  These are liveness watchdogs, not
+# correctness guards; raise them far beyond any plausible scheduling delay.
+_CPU_COLLECTIVE_FLAGS = (
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300",
+    "--xla_cpu_collective_call_terminate_timeout_seconds=1200",
+)
+
+
+def relax_cpu_collective_timeouts() -> None:
+    """Append relaxed CPU-collective rendezvous deadlines to ``XLA_FLAGS``.
+
+    Must run BEFORE the first backend use (XLA parses the env var once at
+    backend initialization).  Flags already present in ``XLA_FLAGS`` are
+    left alone so an explicit caller override wins.  Harmless on TPU runs —
+    the flags only affect the CPU backend's in-process communicator.
+    """
+    import os
+
+    current = os.environ.get("XLA_FLAGS", "")
+    extra = [f for f in _CPU_COLLECTIVE_FLAGS
+             if f.split("=")[0] not in current]
+    if extra:
+        os.environ["XLA_FLAGS"] = " ".join([current] + extra).strip()
+
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,

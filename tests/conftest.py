@@ -14,6 +14,12 @@ import jax  # noqa: E402
 # every python process with JAX_PLATFORMS=axon; env vars set after interpreter
 # start are ignored.  config.update still wins, so force the hermetic
 # 8-virtual-device CPU backend here (multi-chip sharding paths run on it).
+# The CPU collective rendezvous watchdog (hard abort at 40 s) must be
+# relaxed before backend init: on a loaded 1-core host, 8 virtual device
+# threads can miss it from scheduling starvation alone.
+from gstx.core.mesh import relax_cpu_collective_timeouts  # noqa: E402
+
+relax_cpu_collective_timeouts()
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
