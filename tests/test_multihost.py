@@ -242,3 +242,32 @@ def test_process_shard_striping():
     got = np.sort(np.concatenate([a, b, c]))
     np.testing.assert_array_equal(got, np.arange(10))
     assert not set(a) & set(b) and not set(b) & set(c)
+
+
+def test_relax_cpu_collective_timeouts(monkeypatch):
+    """The rendezvous-watchdog flags are appended to XLA_FLAGS exactly once,
+    existing flags are preserved, and an explicit caller value wins."""
+    import os
+
+    from gstx.core.mesh import relax_cpu_collective_timeouts
+
+    monkeypatch.setenv("XLA_FLAGS",
+                       "--xla_force_host_platform_device_count=8")
+    relax_cpu_collective_timeouts()
+    flags = os.environ["XLA_FLAGS"]
+    assert "--xla_force_host_platform_device_count=8" in flags
+    assert "--xla_cpu_collective_call_terminate_timeout_seconds=" in flags
+    assert "--xla_cpu_collective_call_warn_stuck_timeout_seconds=" in flags
+
+    # idempotent: a second call appends nothing
+    relax_cpu_collective_timeouts()
+    assert os.environ["XLA_FLAGS"] == flags
+
+    # an existing caller-set value is left alone
+    monkeypatch.setenv(
+        "XLA_FLAGS",
+        "--xla_cpu_collective_call_terminate_timeout_seconds=77")
+    relax_cpu_collective_timeouts()
+    flags = os.environ["XLA_FLAGS"]
+    assert "terminate_timeout_seconds=77" in flags
+    assert "terminate_timeout_seconds=1200" not in flags
