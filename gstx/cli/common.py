@@ -148,7 +148,14 @@ def make_generation_mesh(config: GSTConfig, enc_only: bool = False):
     process_index/process_count) and each host drives its own local mesh —
     no cross-host collectives, DCN stays idle.  Returns None when a single
     device is available or -data_parallel 1 forces it off.  ``enc_only``
-    skips decoder-dimension validation (discriminative evaluator)."""
+    skips decoder-dimension validation (discriminative evaluator).
+
+    Auto dp (-data_parallel -1) deliberately uses ALL local devices and
+    lets callers pad partial batches rather than capping dp to a divisor
+    of the batch/chunk size: ceil(B / n_dev) rows per device is <= B / d
+    for every divisor d <= n_dev, so padding onto otherwise-idle devices
+    never increases any device's work (e.g. chunk 100 on 8 devices: pad
+    to 104 = 13 rows/device, vs divisor dp=5 = 20 rows/device)."""
     if config.data_parallel == 1 and config.model_parallel <= 1:
         return None
     local = jax.local_devices()

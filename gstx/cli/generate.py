@@ -40,17 +40,37 @@ def _process_info():
     return jax.process_index(), jax.process_count()
 
 
+def _file_fp(path):
+    """Freshness fingerprint of an input file: [size, mtime_ns], or None
+    when absent.  Catches a regenerated same-path input (different
+    contents => different batches) without hashing terabyte stores."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return [st.st_size, st.st_mtime_ns]
+
+
 def _sidecar_meta(config, proc_idx, proc_count, n_items):
     """Identity of a generation run: a partial sidecar is only resumable by
     a run that would produce the identical batch sequence.  Every setting
     that can change the generated tokens is part of the identity — data
     selection (seed/batch/mode/chunk/ckpts), decode semantics (rounds,
-    length, sampling, n-gram blocking) and numerics (dtype, kernels,
+    length, sampling, n-gram blocking), numerics (dtype, kernels,
     quantization, bucket schedule, tensor-parallel degree, which drifts
-    bf16 reductions).  ``data_parallel`` is deliberately absent: mesh
-    data-sharding is pinned bitwise-identical to single-device by
-    tests/test_dialog_engine_mesh.py, so resuming across a different DP
-    degree is safe."""
+    bf16 reductions), and the INPUT DATA itself (paths + size/mtime
+    fingerprints: a regenerated same-path caption/feature/vocab file
+    changes the batch sequence without changing any flag, and resuming
+    across it would silently splice stale batches into the output).
+    ``data_parallel`` is deliberately absent: mesh data-sharding is pinned
+    bitwise-identical to single-device by tests/test_dialog_engine_mesh.py,
+    so resuming across a different DP degree is safe."""
+    if config.mode == "cc12m_gen":
+        data_paths = [config.cc12m_image_feats, config.cc12m_caption,
+                      config.image_id_to_url, config.url_to_cap]
+    else:
+        data_paths = [config.visdial_processed_val,
+                      config.visdial_image_feats]
     return {
         "seed": config.seed,
         "batch_size": config.batch_size,
@@ -72,6 +92,10 @@ def _sidecar_meta(config, proc_idx, proc_count, n_items):
         "model_parallel": config.model_parallel,
         "process": [proc_idx, proc_count],
         "n_items": n_items,
+        "max_seq_len": config.max_seq_len,
+        "max_regions": config.max_regions,
+        "vocab_path": config.vocab_path,
+        "inputs": {p: _file_fp(p) for p in [config.vocab_path] + data_paths},
     }
 
 
@@ -193,11 +217,18 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
                   f"({sum(len(b) for b in recovered)} dialogs recovered)")
     if sidecar:
         # (re)write the sidecar as exactly the recovered prefix: normalizes
-        # torn tails and stamps the meta header for fresh runs
-        with open(sidecar, "w") as f:
+        # torn tails and stamps the meta header for fresh runs.  Built in a
+        # temp file and renamed into place: a second preemption landing
+        # DURING this rewrite must not truncate the very progress it is
+        # re-serializing (open('w') on the sidecar itself would).
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
             f.write(json.dumps({"meta": meta}) + "\n")
             for b, recs in enumerate(recovered):
                 f.write(json.dumps({"batch": b, "records": recs}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, sidecar)
     gen_data = [rec for recs in recovered for rec in recs]
     flush_buf = []
 

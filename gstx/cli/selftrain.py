@@ -113,7 +113,8 @@ def main(argv=None, dry_run=False):
             # atomically), so a clean retry is safe.  Real errors exit
             # with a positive code and are NOT retried.
             print(f"[selftrain] stage died with signal {-proc.returncode}"
-                  f" (attempt {attempt + 1}); retrying", flush=True)
+                  f" (attempt {attempt + 1})"
+                  + ("; retrying" if attempt < 2 else ""), flush=True)
         if proc.returncode != 0:
             try:
                 # errors='replace': the log captures raw subprocess bytes —

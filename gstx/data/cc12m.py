@@ -157,10 +157,11 @@ class CC12mDataset:
 def load_dialog_json(path: str):
     """Load a generated-dialog JSON file, transparently concatenating the
     per-host output shards a multi-host ``cli/generate`` run writes
-    (``name.procN.ext`` next to the configured ``name.ext``).  Shards
-    append after the exact file (if present) in process-index order, so a
-    single-host run, a multi-host run, and a mixed directory all load
-    deterministically."""
+    (``name.procN.ext`` instead of the configured ``name.ext``).  A
+    single-host run writes ONLY the exact file and a multi-host run writes
+    ONLY shards, so both existing at once means two different runs' outputs
+    share the directory — loading both would feed every image's dialogs
+    twice to the student stage, so that is an error, not a concat."""
     root, ext = os.path.splitext(path)
     # only real .procN shards (N a bare integer) count — a sibling like
     # name.proc_backup.ext would match the glob but is not a shard
@@ -169,7 +170,13 @@ def load_dialog_json(path: str):
     matches = [(m, p) for p in _glob.glob(f"{_glob.escape(root)}.proc*{ext}")
                if (m := shard_re.match(p))]
     shards = [p for m, p in sorted(matches, key=lambda mp: int(mp[0].group(1)))]
-    paths = ([path] if os.path.exists(path) else []) + shards
+    if os.path.exists(path) and shards:
+        raise ValueError(
+            f"ambiguous dialog directory: both {path} and per-host shards "
+            f"{[os.path.basename(s) for s in shards]} exist; these are "
+            "outputs of two different generate runs and loading both would "
+            "duplicate every image's dialogs — remove the stale one")
+    paths = [path] if os.path.exists(path) else shards
     if not paths:
         raise FileNotFoundError(
             f"no dialog file {path} and no per-host shards {root}.proc*{ext}")

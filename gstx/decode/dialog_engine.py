@@ -272,8 +272,17 @@ def make_dialog_engine(
     _prepare_memo = {}
 
     def prepare_params(params):
+        # validated by the identity of every LEAF, not just the root: an
+        # in-place update of a nested entry (params['params'][..] = new)
+        # keeps the root id but must invalidate the memo — otherwise the
+        # engine silently decodes with the stale prepared tree.  The memo
+        # stores the leaf list itself (strong refs), so a replaced leaf
+        # can never be GC'd and id-recycled into a false hit.
+        leaves = jax.tree_util.tree_leaves(params)
         hit = _prepare_memo.get(id(params))
-        if hit is not None and hit[0] is params:
+        if hit is not None and hit[0] is params \
+                and len(hit[2]) == len(leaves) \
+                and all(a is b for a, b in zip(hit[2], leaves)):
             return hit[1]
         prepared = params
         if mesh is not None:
@@ -284,7 +293,7 @@ def make_dialog_engine(
             prepared = jitted_precast(prepared)
         while len(_prepare_memo) >= 2:  # questioner + answerer
             _prepare_memo.pop(next(iter(_prepare_memo)))
-        _prepare_memo[id(params)] = (params, prepared)
+        _prepare_memo[id(params)] = (params, prepared, leaves)
         return prepared
 
     def _widen(state: DialogState, pad: int) -> DialogState:

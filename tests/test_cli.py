@@ -192,10 +192,37 @@ def test_sidecar_meta_covers_output_affecting_settings(cli_env):
         "use_pallas": not base.use_pallas, "quantize_memory": True,
         "context_buckets": "64,128", "dynamic_buckets": True,
         "model_parallel": 2,
+        # input-data identity: a different dataset file (or a different
+        # collation shape) produces a different batch sequence
+        "max_seq_len": base.max_seq_len + 64,
+        "max_regions": base.max_regions + 1,
+        "vocab_path": "other_vocab.txt",
+        "visdial_processed_val": "other_val.json",
+        "visdial_image_feats": "other.store",
     }
     for field, value in changed.items():
         other = _sidecar_meta(base.replace(**{field: value}), 0, 1, 4)
         assert other != ref, f"{field} change must invalidate the sidecar"
+    # cc12m-mode inputs are fingerprinted too
+    cc = base.replace(mode="cc12m_gen")
+    cc_ref = _sidecar_meta(cc, 0, 1, 4)
+    for field in ("cc12m_image_feats", "cc12m_caption",
+                  "image_id_to_url", "url_to_cap"):
+        other = _sidecar_meta(cc.replace(**{field: "elsewhere.json"}),
+                              0, 1, 4)
+        assert other != cc_ref, f"{field} must invalidate the sidecar"
+    # a REGENERATED same-path input invalidates via its size/mtime
+    # fingerprint: resuming across it would splice stale batches
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json") as tf:
+        tf.write("[]")
+        tf.flush()
+        cc2 = cc.replace(cc12m_caption=tf.name)
+        before = _sidecar_meta(cc2, 0, 1, 4)
+        os.utime(tf.name, ns=(1, 1))
+        assert _sidecar_meta(cc2, 0, 1, 4) != before, \
+            "same-path input with a different mtime must invalidate"
     # process identity and item count are part of the meta too
     assert _sidecar_meta(base, 1, 2, 4) != ref
     assert _sidecar_meta(base, 0, 1, 5) != ref

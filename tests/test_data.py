@@ -300,16 +300,28 @@ def test_cc12m_train_loads_multihost_proc_shards(visdial_env, tmp_path):
                                 seed=5)
     s1 = make_cc12m_dialog_json(str(tmp_path / "dialogs.proc1.json"), 1,
                                 seed=7)
-    loaded = load_dialog_json(str(tmp_path / "dialogs.json"))
-    assert [d["caption"] for d in loaded] == \
-        [d["caption"] for d in base + s0 + s1]
+    # exact file + shards in one directory = outputs of TWO different runs
+    # (single-host writes only the exact file, multi-host only shards);
+    # silently concatenating would double-load every image's dialogs
+    with pytest.raises(ValueError, match="ambiguous"):
+        load_dialog_json(str(tmp_path / "dialogs.json"))
 
-    # a sibling whose wildcard part is not a bare integer is NOT a shard
-    # (e.g. a human-made backup) — it must be ignored, not crash int()
+    # exact file alone wins once the stale shards are removed
+    (tmp_path / "dialogs.proc0.json").unlink()
+    (tmp_path / "dialogs.proc1.json").unlink()
+    assert [d["caption"] for d in load_dialog_json(
+        str(tmp_path / "dialogs.json"))] == [d["caption"] for d in base]
+
+    # shards reassemble in process order; a sibling whose wildcard part is
+    # not a bare integer is NOT a shard (e.g. a human-made backup) — it
+    # must be ignored, not crash int()
+    (tmp_path / "dialogs.json").unlink()
+    make_cc12m_dialog_json(str(tmp_path / "dialogs.proc0.json"), 3, seed=5)
+    make_cc12m_dialog_json(str(tmp_path / "dialogs.proc1.json"), 1, seed=7)
     (tmp_path / "dialogs.proc_backup.json").write_text("not even json")
     again = load_dialog_json(str(tmp_path / "dialogs.json"))
     assert [d["caption"] for d in again] == \
-        [d["caption"] for d in base + s0 + s1]
+        [d["caption"] for d in s0 + s1]
 
     # shards-only directory (the usual multi-host layout: no exact file)
     only = tmp_path / "only"

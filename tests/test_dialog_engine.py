@@ -126,6 +126,61 @@ def test_dialog_engine_full_loop(tmp_path, tiny_configs):
         assert (appended != 0).any()
 
 
+def test_engine_sees_in_place_param_update(tmp_path, tiny_configs):
+    """The per-run param-preparation memo must invalidate when a caller
+    replaces a nested leaf IN PLACE (root dict id unchanged — exactly the
+    pattern bench.py's EOS-bias surgery once used): a stale hit would
+    silently decode every later batch with the old weights."""
+    import dataclasses
+
+    cfg = make_visdial_env(str(tmp_path))
+    tok = make_tokenizer()
+    enc_cfg, dec_cfg = tiny_configs
+    enc_cfg = dataclasses.replace(enc_cfg, vocab_size=256)
+    dec_cfg = dataclasses.replace(dec_cfg, vocab_size=256)
+    model = GSTVisualDialog(enc_cfg, dec_cfg, dtype=jnp.bfloat16)
+
+    ds = VisdialGenDataset(cfg, tok, mode="vd_gen_val")
+    batch = next(DataLoader(ds, batch_size=2, shuffle=False,
+                            num_workers=1).epoch(0))
+    dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_id"}
+
+    b, l, r = 2, cfg.max_seq_len, cfg.max_regions
+    init_batch = dict(
+        input_ids=jnp.ones((b, l), jnp.int32),
+        image_feat=jnp.ones((b, r, enc_cfg.v_feature_size)),
+        image_loc=jnp.ones((b, r, 5)),
+        token_type_ids=jnp.zeros((b, l), jnp.int32),
+        attention_mask=jnp.ones((b, l), jnp.int32),
+        image_attention_mask=jnp.ones((b, r), jnp.int32),
+        dec_input_ids=jnp.ones((b, 4), jnp.int32),
+        dec_attention_mask=jnp.ones((b, 4), jnp.int32))
+    q_params = model.init(jax.random.PRNGKey(0), **init_batch,
+                          method=GSTVisualDialog.init_all)
+    a_params = model.init(jax.random.PRNGKey(1), **init_batch,
+                          method=GSTVisualDialog.init_all)
+
+    engine = make_dialog_engine(
+        model, dec_cfg, num_rounds=1,
+        q_settings=DecodeSettings(max_steps=3, top_k=1,
+                                  ngram_blocking_size=0),
+        a_settings=DecodeSettings(max_steps=3, top_k=1,
+                                  ngram_blocking_size=0),
+        dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(3)
+    before = np.asarray(engine(q_params, a_params, dev, rng).questions)
+
+    # in-place nested update: root id(q_params) is unchanged
+    bias = np.zeros(dec_cfg.vocab_size, np.float32)
+    bias[7] = 1e4  # force greedy argmax to token 7 everywhere
+    q_params["params"]["decoder"]["lm_bias"] = jnp.asarray(bias)
+    after = np.asarray(engine(q_params, a_params, dev, rng).questions)
+
+    assert not np.array_equal(before, after), \
+        "stale prepared-param memo: in-place leaf update was ignored"
+    assert (after == 7).all()
+
+
 @pytest.mark.slow
 def test_context_buckets_equal_full_width(tmp_path, tiny_configs):
     """Bucketed engine must produce the identical dialog (greedy) as the
