@@ -15,12 +15,19 @@ import numpy as np
 
 
 def build(embedding_path: str, out_dir: str):
-    words, embeddings = [], []
+    # dedup words AND their embedding rows in lockstep: the matrix row
+    # indexed by word2idx[w] must be w's vector (a duplicate line kept in
+    # the matrix but skipped in the vocab would shift every later word's
+    # row — the reference inherits exactly that desync from TextFooler's
+    # two independent loading loops; counter-fitted vectors happen to have
+    # no duplicates, but the invariant should not rely on that)
+    words, embeddings, seen = [], [], set()
     with open(embedding_path, "r") as f:
         for line in f:
             parts = line.strip().split()
-            if not parts:
+            if not parts or parts[0] in seen:
                 continue
+            seen.add(parts[0])
             words.append(parts[0])
             embeddings.append([float(x) for x in parts[1:]])
     emb = np.asarray(embeddings, dtype=np.float64)
@@ -30,9 +37,8 @@ def build(embedding_path: str, out_dir: str):
 
     idx2word, word2idx = {}, {}
     for w in words:
-        if w not in word2idx:
-            idx2word[len(idx2word)] = w
-            word2idx[w] = len(idx2word) - 1
+        idx2word[len(idx2word)] = w
+        word2idx[w] = len(idx2word) - 1
 
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "cos_sim_counter_fitting.npy"), product)

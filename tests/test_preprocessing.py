@@ -112,6 +112,17 @@ def test_cos_sim_builder(tmp_path):
     assert idx2word[0] == "cat" and word2idx["car"] == 2
     assert os.path.exists(str(tmp_path / "cos_sim_counter_fitting.npy"))
 
+    # duplicate lines dedup in LOCKSTEP with the matrix rows: word2idx must
+    # keep indexing each word's own similarity row (a kept-in-matrix but
+    # skipped-in-vocab duplicate would shift every later word's row)
+    dup = str(tmp_path / "dup.txt")
+    open(dup, "w").write("\n".join(
+        ["cat 1.0 0.0", "cat 0.5 0.5", "dog 0.9 0.1", "car 0.0 1.0"]))
+    product2, idx2word2, word2idx2 = build_cos_sim(dup, str(tmp_path))
+    assert product2.shape == (3, 3)
+    assert [idx2word2[i] for i in range(3)] == ["cat", "dog", "car"]
+    np.testing.assert_allclose(product2, product, rtol=1e-6)
+
 
 def test_gaussian_ood_scorer():
     rng = np.random.RandomState(0)
