@@ -72,7 +72,9 @@ def main(argv=None, max_steps=None):
     model = model.clone(mesh=mesh)
 
     optimizer = make_optimizer(config.lr, config.image_lr,
-                               DISC_WARMUP_STEPS, t_total, config.min_lr)
+                               DISC_WARMUP_STEPS, t_total, config.min_lr,
+                               fixed_t_layer=enc_cfg.fixed_t_layer,
+                               fixed_v_layer=enc_cfg.fixed_v_layer)
     params = shard_by_path(mesh, params)
     opt_state = shard_by_path(mesh, optimizer.init(params))
     step_fn = make_disc_train_step(model, optimizer, config)

@@ -159,7 +159,6 @@ def load_mlm_attacker(path: str, config: Optional[EncoderConfig] = None):
             # (mirrors the torch branch below); num_attention_heads is not
             # recoverable from the fused-QKV shapes, so use the bert-base
             # dh=64 convention the reference attacker follows
-            _infer_heads(word.shape[1])
             inter = np.asarray(
                 inner["layer_0"]["ffn"]["intermediate"]["kernel"]).shape[1]
             max_pos = np.asarray(

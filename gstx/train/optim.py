@@ -43,24 +43,38 @@ def warmup_linear_nonzero(base_lr: float, warmup_steps: int, t_total: int,
     return schedule
 
 
+def _joined(path) -> str:
+    return "/" + "/".join(getattr(k, "key", str(k)) for k in path) + "/"
+
+
 def is_language_param(path) -> bool:
     """Group predicate replacing the language_weights.json name list
-    (train_gen.py:205-215): text embeddings + text-stream layers + MLM head."""
-    keys = [getattr(k, "key", str(k)) for k in path]
-    joined = "/".join(keys)
-    if "/embeddings/" in f"/{joined}/":
+    (train_gen.py:205-215): text embeddings + text-stream layers + MLM head.
+    Substring checks only, so the predicate is independent of the tree root
+    (the optimizer sees paths rooted at the flax 'params' collection key).
+
+    The NSP head stays in the image group on purpose: language_weights.json
+    lists ``cls.seq_relationship`` but the model's actual parameter is
+    ``cls.bi_seq_relationship`` (vilbert_dialog.py:1021), so the list entry
+    matches nothing and the reference trains the NSP head at image_lr."""
+    joined = _joined(path)
+    if "/embeddings/" in joined:  # text embeddings (v_embeddings excluded)
         return True
-    if "encoder/encoder/layer_" in joined:  # text stream layers
+    if "/encoder/layer_" in joined:  # text stream layers (not decoder/v_/c_)
         return True
-    if joined.startswith("cls/transform") or "mlm_bias" in joined:
+    if "/cls/transform/" in joined or "/mlm_bias/" in joined:
         return True
     return False
 
 
 def is_no_decay_param(path) -> bool:
-    """bias + LayerNorm params (scale/bias leaves), train_gen.py:204."""
+    """No weight decay for any param whose torch name contains 'bias' or is
+    a LayerNorm weight: the reference matches ``no_decay = ['bias',
+    'LayerNorm.bias', 'LayerNorm.weight']`` by SUBSTRING (train_gen.py:204,
+    217), so the vocab biases ``cls.predictions.bias`` / ``lm_head.bias``
+    (gstx leaves ``mlm_bias`` / ``lm_bias``) are exempt too."""
     leaf = getattr(path[-1], "key", str(path[-1]))
-    return leaf in ("bias", "scale")
+    return leaf == "scale" or leaf.endswith("bias")
 
 
 class _GroupScaleState(NamedTuple):
@@ -69,15 +83,29 @@ class _GroupScaleState(NamedTuple):
 
 def make_optimizer(lang_lr: float, image_lr: float, warmup_steps: int,
                    t_total: int, min_lr: float = 1e-5,
-                   weight_decay: float = 0.01) -> optax.GradientTransformation:
+                   weight_decay: float = 0.01, fixed_t_layer: int = 0,
+                   fixed_v_layer: int = 0) -> optax.GradientTransformation:
     lang_sched = warmup_linear_nonzero(lang_lr, warmup_steps, t_total, min_lr)
     img_sched = warmup_linear_nonzero(image_lr, warmup_steps, t_total, min_lr)
 
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6)
 
+    def is_frozen(path):
+        # fixed_t/v_layer prefixes run under stop_gradient
+        # (two_stream.py, vilbert_dialog.py:839-858): their grads are exactly
+        # zero, so adam contributes nothing — excluding them from weight
+        # decay as well makes them fully static, matching torch AdamW which
+        # skips grad-None params entirely.
+        joined = _joined(path)
+        return (
+            any(f"/encoder/layer_{n}/" in joined
+                for n in range(fixed_t_layer))
+            or any(f"/encoder/v_layer_{n}/" in joined
+                   for n in range(fixed_v_layer)))
+
     def decay_mask(params):
         return jax.tree_util.tree_map_with_path(
-            lambda p, _: not is_no_decay_param(p), params)
+            lambda p, _: not (is_no_decay_param(p) or is_frozen(p)), params)
 
     wd = optax.add_decayed_weights(weight_decay, mask=decay_mask)
 

@@ -31,8 +31,8 @@ from gstx.models.encdec import GSTVisualDialog, teacher_forced_loss
 from gstx.train.optim import current_lrs, make_optimizer
 
 
-def select_rows(batch: Dict[str, jnp.ndarray], sample_indices: jnp.ndarray,
-                train: bool) -> Dict[str, jnp.ndarray]:
+def select_rows(batch: Dict[str, jnp.ndarray],
+                sample_indices: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Flatten [B, rounds, samples, ...] -> rows and gather the sampled ones
     (train_gen.py:45-103).  Image features broadcast across rounds/samples
     instead of materializing the [B,10,1,37,2048] expansion."""
@@ -89,7 +89,7 @@ def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int,
         # (train_gen.py:67-68)
         sample_indices = jax.random.categorical(
             rng_sample, logw[None, :], shape=(batch_size,))
-        rows = select_rows(batch, sample_indices, train=True)
+        rows = select_rows(batch, sample_indices)
         return jax.value_and_grad(loss_fn)(params, rows, rng_dropout)
 
     # donate params/opt_state: each step consumes them, halving the
@@ -127,9 +127,7 @@ def make_train_step(model: GSTVisualDialog, optimizer, batch_size: int,
     return tp_gated(model.mesh, _step)
 
 
-def init_model_and_state(config: GSTConfig, rng,
-                         batch_example: Dict[str, np.ndarray],
-                         t_total: int):
+def init_model_and_state(config: GSTConfig, rng, t_total: int):
     """Build model, params (fresh or from checkpoints) and optimizer."""
     enc_cfg = config.encoder_config()
     dec_cfg = config.decoder_config()
@@ -151,7 +149,9 @@ def init_model_and_state(config: GSTConfig, rng,
     params = model.init(rng, **init_batch, method=GSTVisualDialog.init_all)
 
     optimizer = make_optimizer(config.lr, config.image_lr,
-                               config.warmup_steps, t_total, config.min_lr)
+                               config.warmup_steps, t_total, config.min_lr,
+                               fixed_t_layer=enc_cfg.fixed_t_layer,
+                               fixed_v_layer=enc_cfg.fixed_v_layer)
     opt_state = optimizer.init(params)
     return model, params, optimizer, opt_state
 
@@ -172,7 +172,7 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
     rng = jax.random.PRNGKey(config.seed)
     rng, init_rng = jax.random.split(rng)
     model, params, optimizer, opt_state = init_model_and_state(
-        config, init_rng, None, t_total)
+        config, init_rng, t_total)
 
     start_iter_id = 0
     if config.start_path:

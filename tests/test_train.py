@@ -73,13 +73,65 @@ def test_language_group_predicate():
                                        "kernel"))
 
 
+def test_language_group_predicate_with_params_root():
+    """The optimizer sees paths rooted at the flax 'params' collection key
+    (regression: startswith-based checks silently failed there)."""
+    assert is_language_param(_path("params", "cls", "transform", "dense",
+                                   "kernel"))
+    assert is_language_param(_path("params", "cls", "transform", "ln",
+                                   "scale"))
+    assert is_language_param(_path("params", "cls", "mlm_bias"))
+    assert is_language_param(_path("params", "encoder", "encoder", "layer_11",
+                                   "ffn", "output", "kernel"))
+    assert is_language_param(_path("params", "encoder", "embeddings",
+                                   "sep_embeddings"))
+    assert not is_language_param(_path("params", "cls", "bi_seq_relationship",
+                                       "kernel"))
+    assert not is_language_param(_path("params", "cls", "img_transform",
+                                       "dense", "kernel"))
+    assert not is_language_param(_path("params", "decoder", "layer_0", "qkv",
+                                       "kernel"))
+    assert not is_language_param(_path("params", "decoder", "lm_bias"))
+    assert not is_language_param(_path("params", "encoder", "v_embeddings",
+                                       "ln", "scale"))
+
+
 def test_no_decay_predicate():
     assert is_no_decay_param(_path("encoder", "embeddings", "ln", "bias"))
     assert is_no_decay_param(_path("encoder", "embeddings", "ln", "scale"))
     assert is_no_decay_param(_path("decoder", "layer_0", "qkv", "bias"))
+    # vocab biases: the reference's no_decay list matches by substring, so
+    # cls.predictions.bias / lm_head.bias are exempt from decay too
+    assert is_no_decay_param(_path("params", "cls", "mlm_bias"))
+    assert is_no_decay_param(_path("params", "decoder", "lm_bias"))
     assert not is_no_decay_param(_path("decoder", "layer_0", "qkv", "kernel"))
     assert not is_no_decay_param(_path("encoder", "embeddings",
                                        "word_embeddings", "embedding"))
+
+
+def test_frozen_prefix_params_stay_static():
+    """fixed_t/v_layer params run under stop_gradient (zero grads); the
+    optimizer must not weight-decay them either — torch AdamW skips
+    grad-None params entirely, so frozen layers are fully static."""
+    opt = make_optimizer(1e-3, 1e-3, warmup_steps=1, t_total=100,
+                         fixed_t_layer=1, fixed_v_layer=1)
+    params = {"params": {"encoder": {"encoder": {
+        "layer_0": {"ffn": {"intermediate": {"kernel": jnp.ones((4, 4))}}},
+        "layer_1": {"ffn": {"intermediate": {"kernel": jnp.ones((4, 4))}}},
+        "v_layer_0": {"attention": {"out": {"kernel": jnp.ones((4, 4))}}},
+    }}}}
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)  # stop_gradient
+    updates, _ = opt.update(grads, state, params)
+    inner = updates["params"]["encoder"]["encoder"]
+    # frozen layers: exactly zero update (no decay, no adam drift)
+    assert float(jnp.abs(inner["layer_0"]["ffn"]["intermediate"]
+                         ["kernel"]).max()) == 0.0
+    assert float(jnp.abs(inner["v_layer_0"]["attention"]["out"]
+                         ["kernel"]).max()) == 0.0
+    # non-frozen kernel with zero grad still receives weight decay
+    assert float(jnp.abs(inner["layer_1"]["ffn"]["intermediate"]
+                         ["kernel"]).max()) > 0.0
 
 
 @pytest.fixture(scope="module")
@@ -175,7 +227,7 @@ def test_batch_multiply_accumulates_gradients(train_env):
         rng_sample, rng_dropout = jax.random.split(micro_rng)
         idx = jax.random.categorical(rng_sample, logw[None, :],
                                      shape=(cfg.batch_size,))
-        rows = select_rows(batch, idx, train=True)
+        rows = select_rows(batch, idx)
         loss, g = jax.value_and_grad(loss_fn)(params, rows, rng_dropout)
         losses.append(loss)
         grads.append(g)
@@ -200,7 +252,7 @@ def test_select_rows_semantics(train_env):
     dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
     batch = {k: jnp.asarray(v) for k, v in next(dl.epoch(0)).items()}
     idx = jnp.asarray([0, 11, 19])
-    rows = select_rows(batch, idx, train=True)
+    rows = select_rows(batch, idx)
     assert rows["enc_input_ids"].shape == (3, cfg.max_seq_len)
     # row 11 = dialog 1, round 1; row 0 = dialog 0, round 0
     np.testing.assert_array_equal(
