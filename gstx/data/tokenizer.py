@@ -19,10 +19,47 @@ specials themselves in ``encode_input``.
 
 from __future__ import annotations
 
+import re
 import unicodedata
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Tuple
 
 _SPECIAL_TOKENS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
+# HF's PreTrainedTokenizer.tokenize lowercases the text with a per-char
+# regex substitution that skips special tokens (tokenization_utils.py:
+# 644-653 in transformers 4.57).  Per-CHAR lowercasing matters: Python's
+# whole-string str.lower() applies the Greek final-sigma rule
+# ("ΑΣ".lower() == "ας") while the regex form emits "ασ" — pinned by the
+# HF differential fuzz (scripts/tokenizer_fuzz.py).
+_LOWER_PRESERVE_RE = re.compile(
+    "(" + "|".join(re.escape(s) for s in _SPECIAL_TOKENS) + r")|(.+?)")
+
+
+def _lower_preserving_specials(text: str) -> str:
+    return _LOWER_PRESERVE_RE.sub(
+        lambda m: m.group(1) or m.group(2).lower(), text)
+
+
+def _split_on_specials(text: str) -> List[Tuple[str, bool]]:
+    """Leftmost scan splitting out exact (case-sensitive) special tokens,
+    the equivalent of HF's added-tokens trie split: '[SEP]' embedded in
+    text is never split or lowercased."""
+    segments: List[Tuple[str, bool]] = []
+    pos = 0
+    n = len(text)
+    while pos < n:
+        nxt, tok = n, None
+        for s in _SPECIAL_TOKENS:
+            i = text.find(s, pos)
+            if i != -1 and i < nxt:
+                nxt, tok = i, s
+        if nxt > pos:
+            segments.append((text[pos:nxt], False))
+        if tok is None:
+            break
+        segments.append((tok, True))
+        pos = nxt + len(tok)
+    return segments
 
 
 def _is_whitespace(ch: str) -> bool:
@@ -64,6 +101,9 @@ class BasicTokenizer:
     def tokenize(self, text: str) -> List[str]:
         text = self._clean(text)
         text = self._space_cjk(text)
+        # HF normalizes to NFC after CJK spacing (tokenization_bert.py:321)
+        # so canonically-equivalent codepoint sequences tokenize alike
+        text = unicodedata.normalize("NFC", text)
         tokens = text.split()
         out: List[str] = []
         for tok in tokens:
@@ -179,9 +219,18 @@ class BertTokenizer:
             vocab["[MASK]"])
 
     def tokenize(self, text: str) -> List[str]:
+        # mirror HF's full tokenize(): per-char lowercase preserving
+        # special tokens, split out specials (never split/lowercased),
+        # then basic + wordpiece on the plain segments
+        if self.basic.do_lower_case:
+            text = _lower_preserving_specials(text)
         out: List[str] = []
-        for word in self.basic.tokenize(text):
-            out.extend(self.wordpiece.tokenize(word))
+        for seg, is_special in _split_on_specials(text):
+            if is_special:
+                out.append(seg)
+                continue
+            for word in self.basic.tokenize(seg):
+                out.extend(self.wordpiece.tokenize(word))
         return out
 
     def convert_tokens_to_ids(self, tokens: Iterable[str]) -> List[int]:

@@ -143,10 +143,17 @@ class NativeWordPiece:
             raise IOError(f"cannot load vocab: {vocab_path}")
         self._max_ids = max_ids
 
+    _SPECIALS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
     def encode(self, text: str) -> Optional[List[int]]:
         try:
             raw = text.encode("ascii")
         except UnicodeEncodeError:
+            return None
+        # special tokens embedded in text are never-split (HF semantics,
+        # see gstx/data/tokenizer.py::_split_on_specials); the C++ path
+        # would punctuation-split them, so decline and let Python handle it
+        if "[" in text and any(s in text for s in self._SPECIALS):
             return None
         # per-CALL buffer: ctypes releases the GIL during the C call, and
         # the threaded DataLoader encodes concurrently — a shared buffer
