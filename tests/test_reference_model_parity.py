@@ -55,12 +55,15 @@ EOS_ID, PAD_ID = 102, 0
 REFERENCE_ROOT = "/root/reference"
 
 
-@pytest.fixture(scope="module")
-def ref_modules():
+def load_reference_modules():
+    """Import the reference's own torch modules with the offline shims;
+    returns (vilbert_dialog, visual_dialog_decoder, visual_dialog_model)
+    or None when the reference tree is absent.  Shared with the
+    production-dimension harness (test_reference_parity_production.py)."""
     import os
 
     if not os.path.isdir(os.path.join(REFERENCE_ROOT, "models")):
-        pytest.skip("reference tree not available")
+        return None
     mb = types.ModuleType("pytorch_transformers.modeling_bert")
     mb.BertEmbeddings = transformers.models.bert.modeling_bert.BertEmbeddings
     pt = types.ModuleType("pytorch_transformers")
@@ -100,6 +103,14 @@ def ref_modules():
 
     vd.torch = _TorchCPU()
     return vd, vdd, vdm
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    mods = load_reference_modules()
+    if mods is None:
+        pytest.skip("reference tree not available")
+    return mods
 
 
 def _ref_enc_config(vd, enc_cfg, mode, model_arch):
