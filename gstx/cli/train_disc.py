@@ -53,7 +53,10 @@ def main(argv=None, max_steps=None):
 
     model, enc_cfg, dec_cfg = build_model(config, use_decoder=False,
                                       remat=config.remat)
-    if config.start_path:
+    resume_ckpt = (config.continue_training and config.start_path
+                   and config.start_path.endswith(".ckpt")
+                   and os.path.isdir(config.start_path))
+    if config.start_path and not resume_ckpt:
         params = load_params(model, config, config.start_path)
     else:
         params = init_params(model, config, config.seed)
@@ -75,8 +78,17 @@ def main(argv=None, max_steps=None):
                                DISC_WARMUP_STEPS, t_total, config.min_lr,
                                fixed_t_layer=enc_cfg.fixed_t_layer,
                                fixed_v_layer=enc_cfg.fixed_v_layer)
+    start_iter_id = 0
+    opt_state = optimizer.init(params)
+    if resume_ckpt:
+        # exact preemption resume (params + optimizer + step), the same
+        # mechanism as the generative trainer's -save_every_steps path
+        from gstx.train.train_gen import load_start_checkpoint
+
+        params, opt_state, start_iter_id = load_start_checkpoint(
+            config, params, opt_state)
     params = shard_by_path(mesh, params)
-    opt_state = shard_by_path(mesh, optimizer.init(params))
+    opt_state = shard_by_path(mesh, opt_state)
     step_fn = make_disc_train_step(model, optimizer, config)
 
     # multi-host: each host loads its stripe of the identically-shuffled
@@ -94,13 +106,17 @@ def main(argv=None, max_steps=None):
                         even_stripes=True)
     rng = jax.random.PRNGKey(config.seed)
     start_t = time.time()
+    start_epoch, start_idx = divmod(start_iter_id, num_iter_epoch)
     # -trace_dir: device trace of the training loop (no-op when unset)
     from gstx.core.profiling import trace
 
     with trace(config.trace_dir):
-        for epoch_id, idx, batch in batch_iter(loader, config.num_epochs):
+        for epoch_id, idx, batch in batch_iter(loader, config.num_epochs,
+                                               start_epoch, start_idx):
             iter_id = idx + epoch_id * num_iter_epoch
-            rng, key = jax.random.split(rng)
+            # per-iteration fold_in (not a split chain): exact replay on
+            # preemption resume — see train_gen.py
+            key = jax.random.fold_in(rng, iter_id)
             dev_batch = make_global_batch(mesh, batch)
             params, opt_state, metrics = step_fn(params, opt_state,
                                                  dev_batch, key)
@@ -119,13 +135,21 @@ def main(argv=None, max_steps=None):
                         vals["img_loss"]))
                 metrics_writer.log(iter_id, **vals)
                 start_t = now
-            if iter_id % num_iter_epoch == 0 and iter_id != 0:
+            if iter_id % num_iter_epoch == 0 and iter_id != 0 \
+                    and iter_id != start_iter_id:
                 ckpt_lib.save_checkpoint(
                     os.path.join(config.save_path,
                                  f"vd_train_disc_{epoch_id}.ckpt"),
                     params, opt_state, iter_id)
                 logger.write(f"\n{epoch_id} epoch ended.")
-            if max_steps is not None and iter_id + 1 >= max_steps:
+            if config.save_every_steps > 0 and \
+                    (iter_id + 1) % config.save_every_steps == 0:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(config.save_path,
+                                 f"{config.mode}_step.ckpt"),
+                    params, opt_state, iter_id + 1)
+            if max_steps is not None and \
+                    iter_id - start_iter_id + 1 >= max_steps:
                 break
     return params, opt_state
 

@@ -196,6 +196,12 @@ class GSTConfig:
     batch_size: int = 72
     num_epochs: int = 100
     batch_multiply: int = 1
+    save_every_steps: int = 0  # >0: rotating mid-epoch step checkpoint
+    # ({mode}_step.ckpt) every N iterations for preemption recovery; resume
+    # with -start_path <ckpt> -continue is EXACT (per-step fold_in rng +
+    # per-(epoch,index) loader item seeds replay the identical stream) —
+    # the reference loses everything since the last epoch boundary
+    # (train_gen.py:345-357)
     select_data: bool = False
     lr: float = 2e-5
     image_lr: float = 2e-5

@@ -126,8 +126,16 @@ class DataLoader:
         return self.dataset.__getitem__(index, seed=seed)
 
 
-def batch_iter(loader: DataLoader, num_epochs: int, start_epoch: int = 0):
-    """(epoch_id, idx, batch) generator — reference utils/data_utils.py:20-23."""
+def batch_iter(loader: DataLoader, num_epochs: int, start_epoch: int = 0,
+               start_idx: int = 0):
+    """(epoch_id, idx, batch) generator — reference utils/data_utils.py:20-23.
+
+    ``start_idx``: batch offset within ``start_epoch`` (mid-epoch resume);
+    later epochs always start at 0.  ``idx`` is the TRUE batch index within
+    the epoch, and the skipped batches are never fetched (the loader's
+    per-(epoch, index) item seeds make batch i identical either way)."""
     for epoch_id in range(start_epoch, num_epochs):
-        for idx, batch in enumerate(loader.epoch(epoch_id)):
-            yield epoch_id, idx, batch
+        first = start_idx if epoch_id == start_epoch else 0
+        for off, batch in enumerate(loader.epoch(epoch_id,
+                                                 start_batch=first)):
+            yield epoch_id, first + off, batch

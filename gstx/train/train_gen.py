@@ -211,19 +211,24 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
                         even_stripes=True)
 
     start_t = time.time()
-    start_epoch = start_iter_id // max(1, num_iter_epoch)
+    start_epoch, start_idx = divmod(start_iter_id, max(1, num_iter_epoch))
     iter_id = start_iter_id  # final-ckpt save must work on zero-batch runs
     # -trace_dir: device trace of the training loop (no-op when unset)
     from gstx.core.profiling import trace
 
     with trace(config.trace_dir):
         for epoch_id, idx, batch in batch_iter(loader, config.num_epochs,
-                                               start_epoch):
+                                               start_epoch, start_idx):
             iter_id = idx + epoch_id * num_iter_epoch
             from gstx.core.mesh import make_global_batch
 
             dev_batch = make_global_batch(mesh, batch)
-            rng, step_rng = jax.random.split(rng)
+            # per-ITERATION rng (not a sequentially split stream): a resumed
+            # run replays the identical dropout/row-sampling randomness for
+            # iteration i regardless of where the previous process died —
+            # the training-side analogue of the generate sidecar's
+            # fold_in(seed, batch_idx)
+            step_rng = jax.random.fold_in(rng, iter_id)
             params, opt_state, metrics = step_fn(params, opt_state,
                                                  dev_batch, step_rng)
             if iter_id % config.log_every == 0:
@@ -248,6 +253,15 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
                         f"{config.mode}_{config.chunk}_{epoch_id}.ckpt"),
                     params, opt_state, iter_id)
                 logger.write(f"\n{epoch_id} epoch ended.")
+            if config.save_every_steps > 0 and \
+                    (iter_id + 1) % config.save_every_steps == 0:
+                # rotating mid-epoch checkpoint (crash-safe 3-step swap in
+                # save_checkpoint); step = COMPLETED iterations, so resume
+                # replays nothing: divmod(step) points at the next batch
+                ckpt_lib.save_checkpoint(
+                    os.path.join(config.save_path,
+                                 f"{config.mode}_step.ckpt"),
+                    params, opt_state, iter_id + 1)
             if max_steps is not None and \
                     iter_id - start_iter_id + 1 >= max_steps:
                 break
