@@ -75,6 +75,9 @@ def main():
                         choices=("as7126", "as7125", "poly"),
                         help="in-kernel erf implementation for the fused "
                              "FFN (A/B of the VPU tail - PERF.md)")
+    parser.add_argument("-fused_sampler", type=int, default=0,
+                        help="1 = fused top-k extract + k-way categorical "
+                             "(B*k gumbels instead of B*V; PERF.md r4 A/B)")
     args = parser.parse_args()
 
     import jax
@@ -149,9 +152,11 @@ def main():
     engine = make_dialog_engine(
         model, dec_cfg, num_rounds=args.rounds,
         q_settings=DecodeSettings(max_steps=18, temperature=0.7, top_k=7,
-                                  top_p=0.0, ngram_blocking_size=4),
+                                  top_p=0.0, ngram_blocking_size=4,
+                                  fused_sampler=bool(args.fused_sampler)),
         a_settings=DecodeSettings(max_steps=18, temperature=0.7, top_k=7,
-                                  top_p=0.0, ngram_blocking_size=0),
+                                  top_p=0.0, ngram_blocking_size=0,
+                                  fused_sampler=bool(args.fused_sampler)),
         dtype=dtype,
         context_buckets=tuple(int(x) for x in
                               args.context_buckets.split(",") if x),

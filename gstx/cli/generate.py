@@ -84,6 +84,7 @@ def _sidecar_meta(config, proc_idx, proc_count, n_items):
         "top_k": config.top_k,
         "top_p": config.top_p,
         "ngram_blocking_size": config.ngram_blocking_size,
+        "fused_sampler": config.fused_sampler,
         "dtype": config.dtype,
         "use_pallas": config.use_pallas,
         "quantize_memory": config.quantize_memory,
@@ -128,6 +129,40 @@ def _load_sidecar(path, meta):
     while len(batches) in done:
         batches.append(done[len(batches)])
     return len(batches), batches
+
+
+def _prefetch(src, prepare, depth):
+    """Run ``prepare`` over ``src`` on a daemon thread, ``depth`` items
+    ahead of the consumer.  ``prepare`` does the host-side batch work —
+    padding, bf16 cast, ``jax.device_put`` — so the feature upload of batch
+    i+1 overlaps batch i's device rounds (the host pipeline the reference
+    hides in DataLoader workers, train_gen.py:184).  JAX transfers are
+    thread-safe; only the MAIN thread ever dispatches the engine.  An
+    exception in ``prepare`` re-raises at the consumer."""
+    import queue as queue_mod
+    import threading
+
+    q = queue_mod.Queue(maxsize=max(1, depth))
+    err = []
+
+    def work():
+        try:
+            for idx, batch in src:
+                q.put(prepare(idx, batch))
+        except BaseException as e:  # re-raised below, incl. KeyboardInterrupt
+            err.append(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=work, daemon=True,
+                     name="gstx-generate-prefetch").start()
+    while True:
+        item = q.get()
+        if item is None:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def main(argv=None, max_batches=None, stats_out=None, finalize=True):
@@ -176,10 +211,12 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
         q_settings=DecodeSettings(
             max_steps=config.max_dec_len, temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p,
-            ngram_blocking_size=config.ngram_blocking_size),
+            ngram_blocking_size=config.ngram_blocking_size,
+            fused_sampler=config.fused_sampler),
         a_settings=DecodeSettings(
             max_steps=config.max_dec_len, temperature=config.temperature,
-            top_k=config.top_k, top_p=config.top_p, ngram_blocking_size=0),
+            top_k=config.top_k, top_p=config.top_p, ngram_blocking_size=0,
+            fused_sampler=config.fused_sampler),
         dtype=jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32,
         context_buckets=config.context_bucket_tuple(),
         dynamic_buckets=config.dynamic_buckets,
@@ -276,8 +313,10 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
 
     from gstx.core.profiling import annotate
 
-    def dispatch(idx, batch):
-        key = jax.random.fold_in(base_rng, idx)
+    def prepare(idx, batch):
+        """Host-side batch prep: pad, cast, upload, width decision.  Runs
+        on the prefetch thread when -host_prefetch (the default), so batch
+        i+1's feature transfer rides along batch i's device rounds."""
         # partial final batches pad to a data-axis multiple; padded rows
         # (repeats of row 0) are sliced away in consume
         batch, n_valid = pad_batch_rows(batch, dp)
@@ -288,6 +327,10 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
         # the double-buffered pipeline behind the previous batch's rounds
         init_max = int(
             (np.asarray(batch["enc_input_ids"]) != 0).sum(-1).max())
+        return idx, batch, n_valid, dev, init_max
+
+    def dispatch(idx, batch, n_valid, dev, init_max):
+        key = jax.random.fold_in(base_rng, idx)
         with annotate("gstx:dispatch_rounds"):
             out = engine(q_params, a_params, dev, key, init_max=init_max)
         pending.append((idx, batch, n_valid, out))
@@ -352,12 +395,21 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
     from gstx.core.profiling import trace
 
     depth = max(1, config.pipeline)
-    with trace(config.trace_dir):
+
+    def batches():
         for idx, batch in enumerate(loader.epoch(0, start_batch=start_batch),
                                     start=start_batch):
             if max_batches is not None and idx >= max_batches:
-                break
-            dispatch(idx, batch)
+                return
+            yield idx, batch
+
+    if config.host_prefetch:
+        prepared = _prefetch(batches(), prepare, depth)
+    else:
+        prepared = (prepare(i, b) for i, b in batches())
+    with trace(config.trace_dir):
+        for item in prepared:
+            dispatch(*item)
             if len(pending) >= depth:
                 drain()
         while pending:

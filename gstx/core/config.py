@@ -270,6 +270,16 @@ class GSTConfig:
     # matches this run exists, splice its completed batches and continue
     # from the first unfinished batch (per-batch rng is fold_in(seed, idx),
     # so resumed token streams == uninterrupted ones)
+    fused_sampler: bool = False  # decode: fused top-k extract + categorical
+    # over the k candidates instead of full-vocab filter + [B,V] gumbel draw
+    # (ops/sampling.py::sample_token_topk); same distribution, different rng
+    # consumption -> different sampled tokens, so it is part of the
+    # generation sidecar identity
+    host_prefetch: bool = True  # generate: prepare batch i+1 (pad, host
+    # bf16 cast, device_put with the data-axis sharding) on a background
+    # thread while batch i's rounds run, so the feature upload overlaps
+    # device compute instead of serializing with dispatch; '-no_host_prefetch'
+    # restores the in-line path (the A/B lever for PERF.md round 4)
 
     def encoder_config(self) -> EncoderConfig:
         if self.model_enc_config:

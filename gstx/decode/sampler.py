@@ -23,6 +23,7 @@ from gstx.ops.sampling import (
     ngram_block,
     pad_after_eos,
     sample_token,
+    sample_token_topk,
     top_k_top_p_filter,
 )
 
@@ -35,6 +36,10 @@ class DecodeSettings(NamedTuple):
     top_k: int = 7
     top_p: float = 0.0
     ngram_blocking_size: int = 4
+    fused_sampler: bool = False  # single-pass top-k extract + categorical
+    # over the k candidates (B*k gumbels instead of B*V); distribution-
+    # identical to filter-then-sample but consumes rng differently (tokens
+    # differ run-to-run) — see ops/sampling.py::sample_token_topk
 
 
 def init_cache(dec_config, batch: int, max_len: int, dtype=jnp.float32):
@@ -77,9 +82,14 @@ def sample_sequence(
             logits = ngram_block(
                 logits, ngram_source, tokens, step + 1,
                 settings.ngram_blocking_size)
-        logits = top_k_top_p_filter(logits, settings.top_k, settings.top_p)
         rng, sub = jax.random.split(rng)
-        nxt = sample_token(sub, logits).astype(jnp.int32)
+        if settings.fused_sampler and settings.top_k > 0 \
+                and settings.top_p <= 0.0:
+            nxt = sample_token_topk(sub, logits, settings.top_k)
+        else:
+            logits = top_k_top_p_filter(logits, settings.top_k,
+                                        settings.top_p)
+            nxt = sample_token(sub, logits).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice(
             tokens, nxt[:, None], (0, step + 1))
         done = jnp.logical_or(done, nxt == eos_id)

@@ -75,6 +75,58 @@ def _kth_largest_hier(logits: jnp.ndarray, k: int,
     return jnp.max(bmax, axis=-1, keepdims=True).reshape(*batch_shape, 1)
 
 
+def _topk_hier(logits: jnp.ndarray, k: int,
+               block: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k (values, indices) in ~2 full passes, descending, ties
+    broken at the lowest index (same extraction as :func:`_kth_largest_hier`
+    with the per-round (block, position) recorded as a global index)."""
+    batch_shape = logits.shape[:-1]
+    v = logits.shape[-1]
+    b = 1
+    for d in batch_shape:
+        b *= d
+    nb = -(-v // block)
+    x = logits.reshape(b, v)
+    if nb * block != v:
+        x = jnp.pad(x, ((0, 0), (0, nb * block - v)),
+                    constant_values=-jnp.inf)
+    x = x.reshape(b, nb, block)
+    bmax = jnp.max(x, axis=-1)                      # [B, nb] — full pass
+    rows = jnp.arange(b)
+    vals, idxs = [], []
+    for _ in range(k):
+        bi = jnp.argmax(bmax, axis=-1)              # [B]
+        blk = x[rows, bi]                           # [B, block]
+        pos = jnp.argmax(blk, axis=-1)
+        vals.append(blk[rows, pos])
+        idxs.append(bi * block + pos)
+        blk = blk.at[rows, pos].set(-jnp.inf)
+        x = x.at[rows, bi].set(blk)
+        bmax = bmax.at[rows, bi].set(jnp.max(blk, axis=-1))
+    vals = jnp.stack(vals, axis=-1).reshape(*batch_shape, k)
+    idxs = jnp.stack(idxs, axis=-1).reshape(*batch_shape, k)
+    return vals, idxs.astype(jnp.int32)
+
+
+def sample_token_topk(rng, logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Fused top-k filter + multinomial sample: extract the top-k candidate
+    (value, index) pairs in ~2 passes and sample categorically over the k
+    values, instead of masking the full vocab row and drawing [B, V] gumbel
+    noise (``sample_token(rng, top_k_filter(logits, k))`` draws ~3M uniforms
+    per [96, 30522] step; this draws B*k).
+
+    Distribution-identical to the unfused chain except (a) exact ties at the
+    k-th value are truncated to exactly k candidates where the reference's
+    ``logits < kth`` mask keeps every tied token, and (b) the rng stream is
+    consumed differently, so sampled TOKENS differ run-to-run from the
+    unfused path (both remain faithful multinomial draws).  Selectable via
+    ``-fused_sampler`` (sidecar meta key: token streams change)."""
+    vals, idx = _topk_hier(logits, min(k, logits.shape[-1]))
+    choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(
+        idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
+
+
 def top_k_filter(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
     """Keep only the k highest logits per row (ties at the k-th value kept,
     matching the reference's ``logits < kth -> -inf``)."""

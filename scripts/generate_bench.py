@@ -66,7 +66,9 @@ def main():
     ap.add_argument("-flush_every", type=int, default=-1,
                     help="forwarded to cli/generate when >=0 (A/B the "
                          "preemption-recovery sidecar's host cost)")
-    args = ap.parse_args()
+    # unknown flags forward verbatim to cli/generate (e.g.
+    # -no_host_prefetch for the round-4 upload-overlap A/B)
+    args, passthrough = ap.parse_known_args()
 
     root = args.root
     os.makedirs(root, exist_ok=True)
@@ -123,6 +125,7 @@ def main():
         argv += ["-num_dialog_rounds", str(args.num_dialog_rounds)]
     if args.flush_every >= 0:
         argv += ["-flush_every", str(args.flush_every)]
+    argv += passthrough
     stats = {}
     t0 = time.time()
     gen = generate_main(argv, max_batches=args.n_batches, stats_out=stats)

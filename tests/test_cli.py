@@ -80,6 +80,23 @@ def test_cli_generate(cli_env):
         assert "answer_ppl" in rec["dialog"][0]
 
 
+def test_cli_generate_prefetch_identity(cli_env):
+    """-host_prefetch (default, threaded batch prep + upload) is a pure
+    host-side reordering: outputs must be byte-identical to the in-line
+    -no_host_prefetch path."""
+    from gstx.cli.generate import main
+
+    args, cfg, ckpt = cli_env
+    base = ["-mode", "vd_gen_val", "-start_path_q", ckpt,
+            "-start_path_a", ckpt, "-batch_size", "2",
+            "-num_dialog_rounds", "2", "-max_dec_len", "6"]
+    pre = main(args + base + ["-save_name", "pre.json"])
+    inline = main(args + base + ["-save_name", "inl.json",
+                                 "-no_host_prefetch"])
+    assert len(pre) > 0
+    assert pre == inline
+
+
 def test_cli_generate_resume_identical(cli_env):
     """Preemption recovery: a generate run killed mid-chunk resumes from its
     partial sidecar and produces the byte-identical final JSON (per-batch

@@ -125,6 +125,24 @@ def test_dialog_engine_full_loop(tmp_path, tiny_configs):
         appended = final_ids[i, init_len[i]:final_len[i]]
         assert (appended != 0).any()
 
+    # -fused_sampler variant: same program shape, valid utterances (token
+    # streams legitimately differ — it consumes rng differently; the
+    # distribution identity is pinned analytically in test_sampling.py)
+    fused = jax.jit(make_dialog_engine(
+        model, dec_cfg, num_rounds=2,
+        q_settings=DecodeSettings(max_steps=5, ngram_blocking_size=4,
+                                  fused_sampler=True),
+        a_settings=DecodeSettings(max_steps=5, ngram_blocking_size=0,
+                                  fused_sampler=True)))
+    fout = fused(q_params, a_params,
+                 {k: jnp.asarray(v) for k, v in batch.items()
+                  if k != "image_id"},
+                 jax.random.PRNGKey(3))
+    fq = np.asarray(fout.questions)
+    assert fq.shape == (2, 2, 5)
+    assert (fq >= 0).all() and (fq < dec_cfg.vocab_size).all()
+    assert np.isfinite(np.asarray(fout.answer_ppl)).all()
+
 
 def test_engine_sees_in_place_param_update(tmp_path, tiny_configs):
     """The per-run param-preparation memo must invalidate when a caller

@@ -137,3 +137,64 @@ def test_kth_largest_hier_matches_iterative():
         c = np.asarray(jax.lax.top_k(x, k)[0][..., -1, None])
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(b, c)
+
+
+def test_topk_hier_values_and_indices():
+    """_topk_hier (the fused sampler's extraction) must return the exact
+    lax.top_k values in descending order, with ties at the lowest index —
+    including duplicates split across 128-lane blocks and a vocab that is
+    not a multiple of the block size."""
+    import jax
+    import jax.numpy as jnp
+    from gstx.ops.sampling import _topk_hier
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(6, 3001), jnp.float32)
+    x = x.at[0, :5].set(2.5)            # tied maxima within one block
+    x = x.at[1, 200:203].set(x[1].max())  # ties across blocks
+    for k in (1, 2, 7, 16):
+        vals, idx = _topk_hier(x, k)
+        want_vals, want_idx = jax.lax.top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(vals),
+                                      np.asarray(want_vals))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        # indices really address the values
+        np.testing.assert_array_equal(
+            np.take_along_axis(np.asarray(x), np.asarray(idx), axis=-1),
+            np.asarray(vals))
+
+
+def test_sample_token_topk_distribution_equals_unfused():
+    """The fused top-k sampler draws from EXACTLY the distribution of the
+    unfused filter-then-categorical chain (no kth-value ties case): compare
+    the analytic per-token probabilities, then sanity-check empirically."""
+    import jax
+    import jax.numpy as jnp
+    from gstx.ops.sampling import (
+        _topk_hier, sample_token_topk, top_k_filter)
+
+    rng = np.random.RandomState(3)
+    k, v = 7, 3001
+    x = jnp.asarray(rng.randn(4, v), jnp.float32)
+
+    # analytic: scatter softmax(top-k values) back to vocab order ==
+    # softmax(filtered full row)
+    p_unfused = np.asarray(jax.nn.softmax(top_k_filter(x, k), axis=-1))
+    vals, idx = _topk_hier(x, k)
+    p_k = np.asarray(jax.nn.softmax(vals, axis=-1))
+    p_fused = np.zeros_like(p_unfused)
+    np.put_along_axis(p_fused, np.asarray(idx), p_k, axis=-1)
+    np.testing.assert_allclose(p_fused, p_unfused, atol=1e-6)
+
+    # empirical: the fused draw only ever emits top-k tokens, with
+    # frequencies near the analytic probabilities
+    key = jax.random.PRNGKey(0)
+    n = 8000
+    draws = jax.vmap(lambda s: sample_token_topk(s, x, k))(
+        jax.random.split(key, n))
+    draws = np.asarray(draws)  # [n, 4]
+    topk_sets = [set(np.asarray(idx)[b]) for b in range(4)]
+    for b in range(4):
+        assert set(draws[:, b]) <= topk_sets[b]
+        freq = np.bincount(draws[:, b], minlength=v) / n
+        np.testing.assert_allclose(freq, p_unfused[b], atol=0.03)
