@@ -75,9 +75,11 @@ def main():
                         choices=("as7126", "as7125", "poly"),
                         help="in-kernel erf implementation for the fused "
                              "FFN (A/B of the VPU tail - PERF.md)")
-    parser.add_argument("-fused_sampler", type=int, default=0,
-                        help="1 = fused top-k extract + k-way categorical "
-                             "(B*k gumbels instead of B*V; PERF.md r4 A/B)")
+    parser.add_argument("-fused_sampler", type=int, default=1,
+                        help="0 = unfused filter-then-sample chain; 1 "
+                             "(default) = fused top-k extract + k-way "
+                             "categorical (B*k gumbels instead of B*V; "
+                             "+1.9%%/+0.9%% same-session A/Bs, PERF.md r4)")
     args = parser.parse_args()
 
     import jax

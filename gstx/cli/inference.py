@@ -54,7 +54,8 @@ def main(argv=None, input_fn=input, output_fn=print, max_turns=None):
         params = shard_by_path(mesh, params)
     settings = DecodeSettings(
         max_steps=config.max_dec_len, temperature=config.temperature,
-        top_k=config.top_k, top_p=config.top_p, ngram_blocking_size=0)
+        top_k=config.top_k, top_p=config.top_p, ngram_blocking_size=0,
+        fused_sampler=config.fused_sampler)
 
     item = dataset.__getitem__(0, seed=0)
     output_fn(f"image_id: {int(item['image_id'][0])}")

@@ -270,11 +270,14 @@ class GSTConfig:
     # matches this run exists, splice its completed batches and continue
     # from the first unfinished batch (per-batch rng is fold_in(seed, idx),
     # so resumed token streams == uninterrupted ones)
-    fused_sampler: bool = False  # decode: fused top-k extract + categorical
+    fused_sampler: bool = True  # decode: fused top-k extract + categorical
     # over the k candidates instead of full-vocab filter + [B,V] gumbel draw
     # (ops/sampling.py::sample_token_topk); same distribution, different rng
     # consumption -> different sampled tokens, so it is part of the
-    # generation sidecar identity
+    # generation sidecar identity.  Default ON after two same-session engine
+    # A/Bs (+1.9%/+0.9%, PERF.md round 4); '-no_fused_sampler' restores the
+    # reference-shaped filter-then-sample chain (which also keeps >k
+    # candidates on exact k-th-value ties — measure-zero with f32 logits)
     host_prefetch: bool = True  # generate: prepare batch i+1 (pad, host
     # bf16 cast, device_put with the data-axis sharding) on a background
     # thread while batch i's rounds run, so the feature upload overlaps

@@ -176,7 +176,7 @@ def make_dialog_engine(
             ngram_source=ngram_source, bos_id=CLS_ID, eos_id=SEP_ID)
         return seq, (mem_kv, mem_mask)
 
-    def answer_ppl(params, state, ans_ids, mem_kv, mem_mask):
+    def answer_ppl(params, ans_ids, mem_kv, mem_mask):
         """exp(mean NLL / answer length) — generate.py:183-211.
 
         The attention mask is computed BEFORE the EOS->PAD rewrite (so the
@@ -216,7 +216,7 @@ def make_dialog_engine(
         answ, (mem_kv, mem_mask) = decode_utterance(
             a_params, state, image, ra, a_settings, None)
         ppl, ans_wo_eos, ans_len = answer_ppl(
-            a_params, state, answ, mem_kv, mem_mask)
+            a_params, answ, mem_kv, mem_mask)
         # the reference appends the EOS->PAD-rewritten answer and its
         # EOS-less length, with segment id 1 (generate.py:205,214-228)
         state, _ = append_utterance(state, ans_wo_eos, ans_len,
@@ -384,4 +384,8 @@ def make_dialog_engine(
         )
 
     engine.one_round = one_round
+    # exposed for the torch-oracle parity test (the ppl trick's semantics —
+    # CLS-less conditioning, mask-before/length-after the EOS->PAD rewrite —
+    # are exactly what the VERDICT-r3 in-loop fold would have broken)
+    engine.answer_ppl = answer_ppl
     return engine

@@ -381,3 +381,182 @@ def test_reference_candidate_ranking(ref_assembly, tiny_configs):
     np.testing.assert_array_equal(
         np.argsort(-np.asarray(got_scores), axis=1),
         np.argsort(-want_scores.numpy(), axis=1))
+
+
+def _ref_greedy_decode(decoder, memory, mem_mask, hist_ques, max_steps,
+                       ngram_size, du):
+    """The reference's decode branch (visual_dialog_model.py:86-119) run
+    with the reference's OWN decoding utils, made deterministic by top_k=1
+    (the multinomial draw over a single surviving candidate).  Harness glue
+    only — filtering/blocking/sampling are the imported reference code."""
+    b = memory.shape[0]
+    dec = torch.full((b, 1), 101, dtype=torch.long)
+    seq = []
+    for _ in range(max_steps):
+        with torch.no_grad():
+            logits = decoder(decoder_input_ids=dec.clone(),
+                             attention_mask=None,
+                             encoder_hidden_states=memory,
+                             encoder_attention_mask=mem_mask).logits
+        step_logits = logits[:, -1, :] / 0.7
+        step_logits = du.batch_ngram_blocking(
+            step_logits, hist_ques, dec, ngram_size=ngram_size)
+        filtered = du.batch_top_k_top_p_sampling(step_logits, top_k=1,
+                                                 top_p=0.0)
+        nxt = torch.multinomial(F.softmax(filtered, dim=-1), 1)
+        dec = torch.cat((dec, nxt), dim=-1)
+        seq.append(nxt)
+    return torch.cat(seq, 1)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_reference_greedy_decode_parity(ref_modules, ref_assembly,
+                                        tiny_configs, fused):
+    """END-TO-END greedy decode against the reference's own code: its
+    decoder module + its actual `utils/decoding_utils.py` (top-k filter and
+    dict-based n-gram blocking) vs gstx's KV-cached `sample_sequence`.
+    Previously greedy equivalence was pinned only against a gstx-side
+    reference-STYLE loop (test_decode_equivalence) — this closes the
+    transcription risk for the composed decode chain.  Phase 1 decodes
+    unblocked; phase 2 plants phase-1's own output in the blocking source
+    so the n-gram ban MUST fire and divert the greedy path identically on
+    both sides.  Runs with both samplers (top_k=1 makes the fused
+    candidate-extract + categorical deterministic too)."""
+    import sys as _sys
+
+    import jax
+
+    _sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import utils.decoding_utils as du
+    finally:
+        _sys.path.remove(REFERENCE_ROOT)
+    from gstx.decode.sampler import (DecodeSettings, init_cache,
+                                     sample_sequence)
+    from gstx.ops.sampling import pad_after_eos
+
+    enc_cfg, dec_cfg = tiny_configs
+    (_, _, _, _, encoder, vlfusion, decoder, fl, params, batch,
+     _) = ref_assembly
+    b = batch["input_ids"].shape[0]
+    max_steps = 10
+
+    hidden_t, hidden_v = _ref_encode(encoder, batch)
+    with torch.no_grad():
+        memory, mem_mask = vlfusion(hidden_t, hidden_v,
+                                    batch["attention_mask"],
+                                    batch["image_attention_mask"])
+    mem_kv, mem_add = fl.apply(
+        params, _jx(batch["input_ids"]), _jx(batch["image_feat"]),
+        _jx(batch["image_loc"]), _jx(batch["token_type_ids"]),
+        _jx(batch["attention_mask"]), _jx(batch["image_attention_mask"]),
+        method=GSTVisualDialog.decode_prepare)
+
+    def gstx_decode(ngram_source, ngram_size):
+        def step_fn(tok, pos, caches):
+            return fl.apply(params, tok, pos, caches, mem_kv, mem_add,
+                            method=GSTVisualDialog.decode_step)
+
+        caches = init_cache(dec_cfg, b, max_steps + 1)
+        return sample_sequence(
+            step_fn, jax.random.PRNGKey(5), b, caches,
+            DecodeSettings(max_steps=max_steps, temperature=0.7, top_k=1,
+                           ngram_blocking_size=ngram_size,
+                           fused_sampler=fused),
+            ngram_source=ngram_source, bos_id=101, eos_id=EOS_ID)
+
+    # phase 1: unblocked greedy
+    zero_hist = torch.zeros(b, 20, dtype=torch.long)
+    want1 = _ref_greedy_decode(decoder, memory, mem_mask, zero_hist,
+                               max_steps, 0, du)
+    got1 = gstx_decode(None, 0)
+    want1p = pad_after_eos(_jx(want1), EOS_ID, PAD_ID)
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(want1p))
+
+    # phase 2: plant phase-1 output in the blocking source -> the first
+    # special-free PRE-EOS trigram of each row becomes a live ban that MUST
+    # fire (greedy replays the phase-1 prefix until the planted (t0,t1)
+    # tail, where the ban -inf's t2 and diverts); both sides must divert
+    # identically
+    hist = torch.zeros(b, 20, dtype=torch.long)
+    specials = {0, 100, 101, EOS_ID, 103}
+    planted = 0
+    w1p = np.asarray(want1p)
+    for r in range(b):
+        toks = [int(t) for t in w1p[r] if t != PAD_ID]  # pre-EOS + EOS
+        for i in range(len(toks) - 2):
+            tri = toks[i:i + 3]
+            if not (set(tri) & specials):
+                hist[r, :3] = torch.tensor(tri)
+                planted += 1
+                break
+    assert planted >= 1  # at least one live ban: the scenario is real
+    want2 = _ref_greedy_decode(decoder, memory, mem_mask, hist.clone(),
+                               max_steps, 3, du)
+    got2 = gstx_decode(_jx(hist), 3)
+    want2p = pad_after_eos(_jx(want2), EOS_ID, PAD_ID)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2p))
+    # and the ban really rewrote history vs phase 1 for some planted row
+    assert not np.array_equal(np.asarray(want2p), np.asarray(want1p))
+
+
+def test_reference_answer_ppl(ref_assembly, tiny_configs):
+    """The GST engine's answer-perplexity trick (generate.py:183-209) against
+    the reference's own decoder, via the engine's REAL ``answer_ppl``.
+
+    Pins the exact semantics a naive in-loop fold would break (PERF.md
+    round 4): the answer is scored CLS-less (its first token sits at
+    position 0 and is never itself scored), the attention mask is computed
+    BEFORE the EOS->PAD rewrite (visual_dialog_decoder.py:57 mutates
+    in-place, generate.py:186 masks first), and the normalising length
+    AFTER it (generate.py:205) — including the no-EOS quirk where 17
+    scored terms divide by 18."""
+    enc_cfg, dec_cfg = tiny_configs
+    (_, _, _, _, encoder, vlfusion, decoder, fl, params, batch,
+     _) = ref_assembly
+    from gstx.decode.dialog_engine import make_dialog_engine
+
+    B, T = batch["input_ids"].shape[0], 18
+    g = torch.Generator().manual_seed(23)
+    # synthetic sampled answers, shaped like sample_sequence output: random
+    # non-special tokens, first EOS at L-1, PAD after; one row with no EOS
+    # at all (the full-18-steps case: 17 scored terms over denominator 18)
+    ans = torch.randint(1, dec_cfg.vocab_size, (B, T), generator=g)
+    ans[ans == EOS_ID] = 103
+    lengths = [5, 2, 18, None, 9, 3]  # None = no EOS sampled
+    for b, L in enumerate(lengths):
+        if L is not None:
+            ans[b, L - 1] = EOS_ID
+            ans[b, L:] = PAD_ID
+
+    att = (ans != PAD_ID).long()                     # BEFORE the rewrite
+    t_labels = torch.zeros_like(ans)
+    t_labels[:, :-1] = ans[:, 1:]                    # shift of the ORIGINAL
+    t_inputs = ans.masked_fill(ans == EOS_ID, PAD_ID)
+    hidden_t, hidden_v = _ref_encode(encoder, batch)
+    with torch.no_grad():
+        memory, mem_mask = vlfusion(hidden_t, hidden_v,
+                                    batch["attention_mask"],
+                                    batch["image_attention_mask"])
+        logits = decoder(decoder_input_ids=t_inputs, attention_mask=att,
+                         encoder_hidden_states=memory,
+                         encoder_attention_mask=mem_mask).logits
+        loss = nn.CrossEntropyLoss(ignore_index=PAD_ID, reduction="none")(
+            logits.reshape(-1, logits.shape[-1]), t_labels.reshape(-1))
+        ans_len = (t_inputs != PAD_ID).sum(-1)       # AFTER the rewrite
+        want_ppl = torch.exp(loss.reshape(B, T).sum(-1) / ans_len)
+
+    engine = make_dialog_engine(fl, dec_cfg)
+    mem_kv, mem_add = fl.apply(
+        params, _jx(batch["input_ids"]), _jx(batch["image_feat"]),
+        _jx(batch["image_loc"]), _jx(batch["token_type_ids"]),
+        _jx(batch["attention_mask"]), _jx(batch["image_attention_mask"]),
+        method=GSTVisualDialog.decode_prepare)
+    got_ppl, got_inputs, got_len = engine.answer_ppl(
+        params, _jx(ans), mem_kv, mem_add)
+
+    np.testing.assert_array_equal(np.asarray(got_inputs), t_inputs.numpy())
+    np.testing.assert_array_equal(np.asarray(got_len), ans_len.numpy())
+    assert int(ans_len[3]) == T  # no-EOS row: denominator is the full 18
+    np.testing.assert_allclose(np.asarray(got_ppl), want_ppl.numpy(),
+                               rtol=2e-4)
