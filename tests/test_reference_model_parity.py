@@ -383,6 +383,96 @@ def test_reference_candidate_ranking(ref_assembly, tiny_configs):
         np.argsort(-want_scores.numpy(), axis=1))
 
 
+def test_reference_gradient_parity(ref_assembly, tiny_configs):
+    """Composed GRADIENT parity: torch autograd through the reference's own
+    encoder+VLFusion+decoder on the generative training loss (decoder CE,
+    train_gen.py:324-325 `lm_loss.backward()`) vs `jax.grad` through gstx's
+    `score` path — with the torch grads mapped through the SAME checkpoint
+    converter as the weights (concat/transpose are linear, so converted
+    grads are the grads of converted params; torch's shared embedding
+    Parameter already accumulates its encoder-input + decoder-input + MLM
+    -projection uses, and the converter's tied-duplicate drop keeps that
+    accumulated tensor).  Until now only forwards/losses were pinned against
+    the reference; this pins the entire backward graph."""
+    import jax
+
+    enc_cfg, dec_cfg = tiny_configs
+    (_, _, _, _, encoder, vlfusion, decoder, fl, params, batch,
+     dec_ids) = ref_assembly
+
+    dec_mask = (dec_ids != PAD_ID).long()
+    t_labels = torch.zeros_like(dec_ids)
+    t_labels[:, :-1] = dec_ids[:, 1:]
+    t_inputs = dec_ids.masked_fill(dec_ids == EOS_ID, PAD_ID)
+
+    mods = (encoder, vlfusion, decoder)
+    for m in mods:
+        m.zero_grad(set_to_none=True)
+    # grad-enabled re-run of _ref_encode's enc_dec forward
+    hidden_t, hidden_v = encoder(
+        batch["input_ids"], batch["image_feat"], batch["image_loc"],
+        token_type_ids=batch["token_type_ids"],
+        attention_mask=batch["attention_mask"],
+        image_attention_mask=batch["image_attention_mask"])
+    memory, mem_mask = vlfusion(hidden_t, hidden_v,
+                                batch["attention_mask"],
+                                batch["image_attention_mask"])
+    logits = decoder(decoder_input_ids=t_inputs, attention_mask=dec_mask,
+                     encoder_hidden_states=memory,
+                     encoder_attention_mask=mem_mask).logits
+    loss = nn.CrossEntropyLoss(ignore_index=PAD_ID)(
+        logits.reshape(-1, logits.shape[-1]), t_labels.reshape(-1))
+    loss.backward()
+
+    # grads keyed exactly like the enc-dec checkpoint (weights template +
+    # grad where a parameter has one, zeros for grad-less params/buffers)
+    sd_g = {}
+    for prefix, mod in (("encoder.bert_pretrained.", encoder),
+                        ("decoder.decoder.", decoder),
+                        ("vlfusion.", vlfusion)):
+        pgrads = {k: v.grad for k, v in mod.named_parameters()}
+        for k, v in mod.state_dict().items():
+            g = pgrads.get(k)
+            sd_g[prefix + k] = (g.detach().numpy() if g is not None
+                                else np.zeros(v.shape, np.float32))
+    tree_g = convert_torch_state_dict(
+        sd_g, num_text_layers=enc_cfg.num_hidden_layers,
+        num_visual_layers=enc_cfg.v_num_hidden_layers,
+        num_co_layers=len(enc_cfg.v_biattention_id),
+        num_dec_layers=dec_cfg.num_hidden_layers)
+
+    def loss_fn(p):
+        lg = fl.apply(
+            p, _jx(batch["input_ids"]), _jx(batch["image_feat"]),
+            _jx(batch["image_loc"]), _jx(batch["token_type_ids"]),
+            _jx(batch["attention_mask"]),
+            _jx(batch["image_attention_mask"]),
+            _jx(t_inputs), _jx(dec_mask), method=GSTVisualDialog.score)
+        return teacher_forced_loss(lg, _jx(t_labels), PAD_ID)
+
+    got = jax.grad(loss_fn)(params)["params"]
+
+    import flax.traverse_util as tu
+
+    want_flat = tu.flatten_dict(tree_g, sep="/")
+    got_flat = tu.flatten_dict(got, sep="/")
+    assert set(want_flat) == set(got_flat)
+    # the shared table really accumulated multiple uses (nonzero), and a
+    # decoder-only leaf (lm head) plus an encoder-only leaf both got grads
+    emb_key = "encoder/embeddings/word_embeddings/embedding"
+    assert float(np.abs(want_flat[emb_key]).max()) > 0
+    checked = 0
+    for k in sorted(got_flat):
+        w, g = np.asarray(want_flat[k], np.float32), np.asarray(got_flat[k])
+        np.testing.assert_allclose(
+            g, w, rtol=3e-4, atol=5e-7,
+            err_msg=f"gradient mismatch at {k}")
+        checked += 1
+    assert checked == len(got_flat)
+    for m in mods:
+        m.zero_grad(set_to_none=True)
+
+
 def _ref_greedy_decode(decoder, memory, mem_mask, hist_ques, max_steps,
                        ngram_size, du):
     """The reference's decode branch (visual_dialog_model.py:86-119) run
