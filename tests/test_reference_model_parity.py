@@ -329,6 +329,102 @@ def test_reference_pretraining_losses(ref_modules, ref_assembly,
                                    atol=1e-5)
 
 
+def test_reference_pretraining_gradient_parity(ref_modules, ref_assembly,
+                                               tiny_configs):
+    """Backward-graph parity for the OTHER training family: the coefficient
+    -weighted 3-loss encoder pretraining objective (train_disc.py:116-123
+    `loss = lm + nsp + img` -> backward) through the reference's own
+    BertForMultiModalPreTraining vs `jax.grad` through gstx's
+    `pretrain_scores` + loss heads.  Complements
+    test_reference_gradient_parity (decoder-CE family): together every
+    trainable loss surface has its gradients pinned against torch autograd.
+    Distinct coefficients catch any loss-term mix-up."""
+    import jax
+
+    vd, _, _ = ref_modules
+    enc_cfg, dec_cfg = tiny_configs
+    (_, _, _, _, encoder, _, _, fl, params, batch, _) = ref_assembly
+    c_lm, c_nsp, c_img = 1.0, 0.7, 0.3
+
+    cfg2 = _ref_enc_config(vd, enc_cfg, mode="vd_train",
+                           model_arch="enc_only_a")
+    enc_only = vd.BertForMultiModalPreTraining(cfg2).eval()
+    enc_only.load_state_dict(encoder.state_dict(), strict=True)
+    enc_only.zero_grad(set_to_none=True)
+
+    B, L = batch["input_ids"].shape
+    R = batch["image_feat"].shape[1]
+    g = torch.Generator().manual_seed(13)
+    mlm_labels = torch.where(
+        torch.rand(B, L, generator=g) < 0.15,
+        torch.randint(0, enc_cfg.vocab_size, (B, L), generator=g),
+        torch.full((B, L), -1))
+    image_target = torch.softmax(
+        torch.randn(B, R, enc_cfg.v_target_size, generator=g), -1)
+    image_label = torch.where(
+        torch.rand(B, R, generator=g) < 0.2,
+        torch.ones(B, R, dtype=torch.long),
+        torch.full((B, R), -1, dtype=torch.long))
+    image_label[:, 1] = 1
+    nsp_labels = torch.softmax(torch.randn(B, 2, generator=g), -1)
+
+    want_lm, want_img, want_nsp, _, _, _ = enc_only(
+        batch["input_ids"], batch["image_feat"], batch["image_loc"],
+        token_type_ids=batch["token_type_ids"],
+        attention_mask=batch["attention_mask"],
+        image_attention_mask=batch["image_attention_mask"],
+        masked_lm_labels=mlm_labels, image_label=image_label,
+        image_target=image_target, next_sentence_label=nsp_labels)
+    (c_lm * want_lm.mean() + c_nsp * want_nsp.mean()
+     + c_img * want_img.mean()).backward()
+
+    sd_g = {}
+    pgrads = {k: v.grad for k, v in enc_only.named_parameters()}
+    for k, v in enc_only.state_dict().items():
+        gr = pgrads.get(k)
+        sd_g["encoder.bert_pretrained." + k] = (
+            gr.detach().numpy() if gr is not None
+            else np.zeros(v.shape, np.float32))
+    tree_g = convert_torch_state_dict(
+        sd_g, num_text_layers=enc_cfg.num_hidden_layers,
+        num_visual_layers=enc_cfg.v_num_hidden_layers,
+        num_co_layers=len(enc_cfg.v_biattention_id),
+        num_dec_layers=dec_cfg.num_hidden_layers)
+
+    def loss_fn(p):
+        pt, pv, nsp = fl.apply(
+            p, _jx(batch["input_ids"]), _jx(batch["image_feat"]),
+            _jx(batch["image_loc"]), _jx(batch["token_type_ids"]),
+            _jx(batch["attention_mask"]),
+            _jx(batch["image_attention_mask"]),
+            method=GSTVisualDialog.pretrain_scores)
+        return (c_lm * masked_lm_loss(pt, _jx(mlm_labels))
+                + c_nsp * soft_nsp_loss(nsp, _jx(nsp_labels))
+                + c_img * masked_img_loss(pv, _jx(image_target),
+                                          _jx(image_label)))
+
+    got = jax.grad(loss_fn)(params)["params"]
+
+    import flax.traverse_util as tu
+
+    want_flat = tu.flatten_dict(tree_g, sep="/")
+    got_flat = tu.flatten_dict(got, sep="/")
+    # encoder-only objective: the converted want-tree covers the encoder +
+    # heads subtrees; every gstx leaf outside them (decoder, fusion) must
+    # have gotten EXACTLY zero gradient
+    assert set(want_flat) <= set(got_flat)
+    zero_keys = set(got_flat) - set(want_flat)
+    assert any(k.startswith("decoder/") for k in zero_keys)
+    for k in sorted(zero_keys):
+        assert float(np.abs(got_flat[k]).max()) == 0.0, k
+    for k in sorted(want_flat):
+        np.testing.assert_allclose(
+            np.asarray(got_flat[k]),
+            np.asarray(want_flat[k], np.float32), rtol=3e-4, atol=5e-7,
+            err_msg=f"gradient mismatch at {k}")
+    enc_only.zero_grad(set_to_none=True)
+
+
 def test_reference_candidate_ranking(ref_assembly, tiny_configs):
     """Generative candidate ranking (evaluate_gen.py:94-107) against the
     reference's own encoder+fusion+decoder."""
