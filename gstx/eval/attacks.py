@@ -85,9 +85,11 @@ def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0,
         per_sample = nll.mean(-1)  # mean over all positions (ref :127)
         return jnp.sum(per_sample * gt_relevance)
 
+    nll_grad = jax.grad(nll_loss)
+
     def fgsm_scores(params, chunk, gt_relevance):
-        grad = jax.grad(nll_loss)(chunk["enc_image_feat"], params, chunk,
-                                  gt_relevance)
+        grad = nll_grad(chunk["enc_image_feat"], params, chunk,
+                        gt_relevance)
         perturbed = chunk["enc_image_feat"] + epsilon * jnp.sign(grad)
         dec_ids = chunk["dec_input_ids"]
         dec_inputs = jnp.where(dec_ids == SEP_ID, PAD_ID, dec_ids)
@@ -100,8 +102,14 @@ def make_fgsm_scorer(model: GSTVisualDialog, epsilon: float = 1.0,
         return candidate_log_likelihood(logits, dec_ids)
 
     if in_shardings is not None:
-        return tp_gated(mesh, jax.jit(fgsm_scores, in_shardings=in_shardings))
-    return tp_gated(mesh, jax.jit(fgsm_scores))
+        out = tp_gated(mesh, jax.jit(fgsm_scores,
+                                     in_shardings=in_shardings))
+    else:
+        out = tp_gated(mesh, jax.jit(fgsm_scores))
+    # exposed for the torch-oracle parity test (the attack's input gradient
+    # d loss / d image_features, the quantity FGSM's sign() consumes)
+    out.nll_grad = jax.jit(nll_grad)
+    return out
 
 
 class TextAttack:

@@ -425,6 +425,95 @@ def test_reference_pretraining_gradient_parity(ref_modules, ref_assembly,
     enc_only.zero_grad(set_to_none=True)
 
 
+def test_reference_fgsm_parity(ref_assembly, tiny_configs):
+    """FGSM attack parity against torch autograd through the reference's
+    own modules (evaluate_gen_attack.py:101-148): the INPUT gradient
+    d(relevance-weighted mean NLL)/d(image features) — the quantity
+    `sign()` consumes — matches on every element, zero-relevance rows get
+    EXACTLY zero gradient (the mesh-padding invariant attacks.py relies
+    on), and the composed `fgsm_scores` (perturb + rescore) reproduces the
+    reference's post-attack candidate log-likelihoods."""
+    import jax
+
+    enc_cfg, dec_cfg = tiny_configs
+    (_, _, _, _, encoder, vlfusion, decoder, fl, params, batch,
+     dec_ids) = ref_assembly
+    from gstx.eval.attacks import make_fgsm_scorer
+
+    B = batch["input_ids"].shape[0]
+    g = torch.Generator().manual_seed(29)
+    rel = torch.rand(B, generator=g)
+    rel[1] = 0.0  # a zero-relevance candidate row
+    epsilon = 0.5
+
+    dec_mask = (dec_ids != PAD_ID).long()
+    t_labels = torch.zeros_like(dec_ids)
+    t_labels[:, :-1] = dec_ids[:, 1:]
+    t_inputs = dec_ids.masked_fill(dec_ids == EOS_ID, PAD_ID)
+
+    # torch: grad wrt a leaf features tensor (the reference's Variable
+    # requires_grad dance), per-position CE -> mean over ALL positions ->
+    # relevance-weighted sum -> backward
+    feats = batch["image_feat"].clone().requires_grad_(True)
+    hidden_t, hidden_v = encoder(
+        batch["input_ids"], feats, batch["image_loc"],
+        token_type_ids=batch["token_type_ids"],
+        attention_mask=batch["attention_mask"],
+        image_attention_mask=batch["image_attention_mask"])
+    memory, mem_mask = vlfusion(hidden_t, hidden_v,
+                                batch["attention_mask"],
+                                batch["image_attention_mask"])
+    logits = decoder(decoder_input_ids=t_inputs, attention_mask=dec_mask,
+                     encoder_hidden_states=memory,
+                     encoder_attention_mask=mem_mask).logits
+    nll = nn.CrossEntropyLoss(ignore_index=PAD_ID, reduction="none")(
+        logits.reshape(-1, logits.shape[-1]), t_labels.reshape(-1))
+    loss = (nll.reshape(B, -1).mean(1) * rel).sum()
+    loss.backward()
+    want_grad = feats.grad.detach()
+
+    with torch.no_grad():
+        pert = batch["image_feat"] + epsilon * torch.sign(want_grad)
+        hidden_t2, hidden_v2 = encoder(
+            batch["input_ids"], pert, batch["image_loc"],
+            token_type_ids=batch["token_type_ids"],
+            attention_mask=batch["attention_mask"],
+            image_attention_mask=batch["image_attention_mask"])
+        memory2, mem_mask2 = vlfusion(hidden_t2, hidden_v2,
+                                      batch["attention_mask"],
+                                      batch["image_attention_mask"])
+        logits2 = decoder(decoder_input_ids=t_inputs,
+                          attention_mask=dec_mask,
+                          encoder_hidden_states=memory2,
+                          encoder_attention_mask=mem_mask2).logits
+        logp = F.log_softmax(logits2, dim=-1)
+        tok = torch.gather(logp, 2, t_labels.unsqueeze(-1)).squeeze(-1)
+        want_scores = tok.masked_fill(t_labels == PAD_ID, 0.0).sum(-1)
+
+    chunk = {
+        "enc_input_ids": _jx(batch["input_ids"]),
+        "enc_image_feat": _jx(batch["image_feat"]),
+        "enc_image_loc": _jx(batch["image_loc"]),
+        "enc_segments": _jx(batch["token_type_ids"]),
+        "enc_att_mask": _jx(batch["attention_mask"]),
+        "enc_image_mask": _jx(batch["image_attention_mask"]),
+        "dec_input_ids": _jx(dec_ids),
+        "dec_att_mask": _jx(dec_mask),
+    }
+    scorer = make_fgsm_scorer(fl, epsilon=epsilon)
+    got_grad = scorer.nll_grad(chunk["enc_image_feat"], params, chunk,
+                               _jx(rel))
+    np.testing.assert_allclose(np.asarray(got_grad), want_grad.numpy(),
+                               rtol=3e-4, atol=5e-7)
+    assert float(want_grad[1].abs().max()) == 0.0
+    assert float(np.abs(np.asarray(got_grad)[1]).max()) == 0.0
+    # composed attack: identical signs -> identical perturbation -> the
+    # rescored candidate log-likelihoods agree at forward-parity tolerance
+    got_scores = scorer(params, chunk, _jx(rel))
+    np.testing.assert_allclose(np.asarray(got_scores),
+                               want_scores.numpy(), rtol=1e-4, atol=1e-4)
+
+
 def test_reference_candidate_ranking(ref_assembly, tiny_configs):
     """Generative candidate ranking (evaluate_gen.py:94-107) against the
     reference's own encoder+fusion+decoder."""
