@@ -143,6 +143,59 @@ def test_sequence_mask_differential(ref_utils):
         np.testing.assert_array_equal(np.asarray(got), want.numpy())
 
 
+@pytest.fixture(scope="module")
+def ref_metrics():
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "utils")):
+        pytest.skip("reference tree not available")
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import utils.visdial_metrics as vm
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return vm
+
+
+def test_metrics_differential(ref_metrics):
+    """SparseGTMetrics (r@1/5/10, mean, mrr) and NDCG against the
+    reference's own utils/visdial_metrics.py classes, across several
+    accumulated observe() calls, with tied/zero relevance rows (the NDCG
+    top-k path) and continuous scores (rank ties are measure-zero, torch's
+    unstable sort would otherwise be unreproducible by design)."""
+    from gstx.eval.metrics import NDCG, SparseGTMetrics
+
+    vm = ref_metrics
+    rs = np.random.RandomState(7)
+    ref_sparse, got_sparse = vm.SparseGTMetrics(), SparseGTMetrics()
+    ref_ndcg, got_ndcg = vm.NDCG(), NDCG()
+
+    for _ in range(4):
+        B, R, O = int(rs.randint(2, 5)), 10, int(rs.randint(5, 30))
+        scores = rs.randn(B, R, O).astype(np.float32)
+        gt = rs.randint(0, O, size=(B, R))
+        ref_sparse.observe(torch.tensor(scores), torch.tensor(gt))
+        got_sparse.observe(scores, gt)
+
+        d_scores = rs.randn(B, O).astype(np.float32)
+        rel = rs.choice([0.0, 0.0, 0.5, 0.5, 1.0],
+                        size=(B, O)).astype(np.float32)
+        rel[:, 0] = 1.0  # ensure k >= 1 per row
+        ref_ndcg.observe(torch.tensor(d_scores), torch.tensor(rel))
+        got_ndcg.observe(d_scores, rel)
+
+    want = ref_sparse.retrieve(reset=True)
+    got = got_sparse.retrieve(reset=True)
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5,
+                                   err_msg=f"sparse metric {k}")
+    want_n = ref_ndcg.retrieve(reset=True)
+    got_n = got_ndcg.retrieve(reset=True)
+    np.testing.assert_allclose(got_n["ndcg"], want_n["ndcg"], rtol=1e-5)
+    # reset really cleared the accumulators on both sides
+    assert ref_sparse.retrieve() == {} and got_sparse.retrieve() == {}
+    assert ref_ndcg.retrieve() == {} and got_ndcg.retrieve() == {}
+
+
 def test_scheduler_differential(ref_utils):
     """gstx's warmup_linear_nonzero(step) must equal the reference's own
     WarmupLinearScheduleNonZero at every last_epoch, for BOTH base LRs,
