@@ -155,3 +155,126 @@ def test_visdial_gen_dataset_differential(env, mode, model):
     assert len(ref_ds) == len(got_ds)
     for idx in range(len(ref_ds)):
         _compare_item(ref_ds[idx], got_ds.__getitem__(idx, seed=idx), mode)
+
+
+class _SharedPyRandom:
+    """gstx rng surface over the global python `random` stream (same
+    adapter as tests/test_reference_data_parity.py) — makes the cc12m
+    items comparable EXACTLY even with mask_prob > 0, because both
+    implementations draw in the same order (per round: context draws then
+    target draws; image draws last; gen mode: image first)."""
+
+    def random_sample(self):
+        import random
+
+        return random.random()
+
+    def randint(self, low, high):
+        import random
+
+        return random.randint(low, high - 1)
+
+
+@pytest.fixture(scope="module")
+def cc12m_env(tmp_path_factory):
+    from fixtures import (make_cc12m_caption_json, make_cc12m_dialog_json,
+                          make_synthetic_store)
+
+    d = str(tmp_path_factory.mktemp("refcc"))
+    cap = os.path.join(d, "captions.json")
+    dia = os.path.join(d, "dialogs.json")
+    feats = os.path.join(d, "cc.store")
+    n = 4
+    make_cc12m_caption_json(cap, num_images=n)
+    make_cc12m_dialog_json(dia, num_images=n)
+    make_synthetic_store(feats, [2000 + i for i in range(n)], num_boxes=12,
+                         feat_dim=16, num_classes=11)
+    vocab_path = write_vocab_file(os.path.join(d, "vocab.txt"))
+    dcc = _load_ref_cc12m(vocab_path)
+    if dcc is None:
+        pytest.skip("reference tree not available")
+    reader = FeatureStoreReader(feats)
+
+    class _ReaderProxy:
+        """The reference's caption-mode sanity assert reads the private
+        `_image_ids`; expose it over the (possibly native) gstx reader."""
+
+        _image_ids = list(reader.keys())
+
+        def __getitem__(self, image_id):
+            return reader[image_id]
+
+    dcc.ImageFeaturesH5Reader = lambda path: _ReaderProxy()
+    return cap, dia, feats, dcc, reader
+
+
+def _load_ref_cc12m(vocab_path):
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "dataloader")):
+        return None
+    _load_ref_dataloader(vocab_path)  # installs the tokenizer/lmdb shims
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import dataloader.dataloader_cc12m_gen as dcc
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return dcc
+
+
+@pytest.mark.parametrize("mode,mask_prob,select_data", [
+    ("cc12m_gen", 0.0, False),
+    ("cc12m_train", 0.0, True),    # ppl-threshold label zeroing engaged
+    ("cc12m_train", 0.15, False),  # stochastic masking, shared rng stream
+])
+def test_cc12m_dataset_differential(cc12m_env, mode, mask_prob,
+                                    select_data):
+    """CC12M dataset (the GST self-training data path) vs the reference's
+    own CC12mDataset: gen mode, train mode with perplexity-threshold label
+    zeroing, and train mode with mask_prob=0.15 where BOTH the context MLM
+    masking and the region masking are driven from the same python-random
+    stream — items must be exactly equal INCLUDING every random mask."""
+    import random
+
+    from gstx.core.config import GSTConfig
+    from gstx.data.cc12m import CC12mDataset as GstxCC12m
+
+    cap, dia, feats, dcc, reader = cc12m_env
+    params = {
+        "cc12m_image_feats": feats,
+        "cc12m_caption": cap if mode == "cc12m_gen" else "",
+        "cc12m_processed_train": dia if mode == "cc12m_train" else "",
+        "max_seq_len": 96, "max_utt_len": 12,
+        "mask_prob": mask_prob, "select_data": select_data,
+        "threshold": 50.0,
+    }
+    ref_ds = dcc.CC12mDataset(params)
+    ref_ds.mode = mode
+    cfg = GSTConfig(cc12m_image_feats=feats, cc12m_caption=cap,
+                    cc12m_processed_train=dia, max_seq_len=96,
+                    max_utt_len=12, max_regions=37, mask_prob=mask_prob,
+                    select_data=select_data, threshold=50.0)
+    got_ds = GstxCC12m(cfg, make_tokenizer(), mode=mode, reader=reader)
+    assert len(ref_ds) == len(got_ds)
+    shared = _SharedPyRandom()
+    for idx in range(len(ref_ds)):
+        random.seed(9000 + idx)
+        want = ref_ds[idx]
+        random.seed(9000 + idx)
+        if mode == "cc12m_gen":
+            got = got_ds._gen_item(idx, shared)
+        else:
+            got = got_ds._train_item(idx, shared)
+        # shared stream -> even enc_image_label (the randint) is exact
+        assert set(want) == set(got)
+        for key, w in want.items():
+            w = w.numpy() if torch.is_tensor(w) else np.asarray(w)
+            g = np.asarray(got[key])
+            if g.shape != w.shape:
+                assert g.size == w.size, (mode, key, g.shape, w.shape)
+                g = g.reshape(w.shape)
+            np.testing.assert_array_equal(
+                g, w, err_msg=f"{mode}:{key} differs (idx {idx})")
+        if mode == "cc12m_train" and select_data:
+            # the zeroing really fired: fixture ppls straddle threshold 50
+            labels = np.asarray(got["dec_labels"])
+            zeroed = (labels.reshape(10, -1).sum(-1) == 0)
+            assert zeroed.any()
