@@ -159,19 +159,23 @@ def test_visdial_gen_dataset_differential(env, mode, model):
 
 class _SharedPyRandom:
     """gstx rng surface over the global python `random` stream (same
-    adapter as tests/test_reference_data_parity.py) — makes the cc12m
-    items comparable EXACTLY even with mask_prob > 0, because both
-    implementations draw in the same order (per round: context draws then
-    target draws; image draws last; gen mode: image first)."""
+    adapter as tests/test_reference_data_parity.py) — makes the cc12m and
+    disc items comparable EXACTLY even with mask_prob > 0 and random
+    negative sampling, because both implementations draw in the same
+    order AND through the same primitives: `random.choice(seq)` consumes
+    one `_randbelow(len(seq))`, exactly like the adapter's one-arg
+    `randint(n)` via `randrange(n)`."""
 
     def random_sample(self):
         import random
 
         return random.random()
 
-    def randint(self, low, high):
+    def randint(self, low, high=None):
         import random
 
+        if high is None:
+            return random.randrange(low)
         return random.randint(low, high - 1)
 
 
@@ -278,3 +282,107 @@ def test_cc12m_dataset_differential(cc12m_env, mode, mask_prob,
             labels = np.asarray(got["dec_labels"])
             zeroed = (labels.reshape(10, -1).sum(-1) == 0)
             assert zeroed.any()
+
+
+def _load_ref_disc(vocab_path):
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "dataloader")):
+        return None
+    _load_ref_dataloader(vocab_path)  # installs the tokenizer/lmdb shims
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import dataloader.dataloader_visdial_disc as dvd
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return dvd
+
+
+@pytest.fixture(scope="module")
+def disc_env(env, tmp_path_factory):
+    import json
+
+    cfg, _, reader, ref_params_gen = env
+    d = str(tmp_path_factory.mktemp("refdisc"))
+    vocab_path = write_vocab_file(os.path.join(d, "vocab.txt"))
+    dvd = _load_ref_disc(vocab_path)
+    if dvd is None:
+        pytest.skip("reference tree not available")
+    dvd.ImageFeaturesH5Reader = lambda path: reader
+    # pseudo-dense training labels: scores[round][option] in [0, 1]
+    rs = np.random.RandomState(31)
+    train_dense_path = os.path.join(d, "train_dense.json")
+    with open(train_dense_path, "w") as f:
+        json.dump([{"image_id": 1000 + i,
+                    "scores": rs.rand(10, 100).round(3).tolist()}
+                   for i in range(4)], f)
+    return cfg, dvd, reader, train_dense_path
+
+
+@pytest.mark.parametrize("mode,mask_prob,train_dense", [
+    ("vd_train", 0.15, False),   # shared-stream negatives + MLM masking
+    ("vd_train", 0.0, True),     # pseudo-dense NSP label lookup
+    ("vd_eval_val", 0.0, False),
+    ("vd_eval_test", 0.0, False),
+])
+def test_visdial_disc_dataset_differential(disc_env, mode, mask_prob,
+                                           train_dense):
+    """Discriminative dataset vs the reference's own
+    dataloader_visdial_disc.py: random negative resampling under the
+    max-len constraint (random.choice == the adapter's randrange draw),
+    MLM masking, pseudo-dense NSP label lookup by sampled option index,
+    round pruning (visdial_tot_rounds=10 prunes the last rounds' history),
+    and both eval layouts — items exactly equal under the shared stream,
+    including image masking and the ensure-one-predicted randint."""
+    import random
+
+    from gstx.data.visdial import VisdialDiscDataset
+
+    cfg, dvd, reader, train_dense_path = disc_env
+    params = {
+        "num_train_samples": 0, "num_val_samples": 0,
+        "visdial_image_feats": cfg.visdial_image_feats,
+        "visdial_processed_train": cfg.visdial_processed_train,
+        "visdial_processed_val": cfg.visdial_processed_val,
+        "visdial_processed_test": cfg.visdial_processed_test,
+        "visdial_processed_val_dense_annotations":
+            cfg.visdial_processed_val_dense_annotations,
+        "visdial_processed_train_dense": train_dense_path,
+        "vd_version": "1.0", "overfit": False, "num_options": 100,
+        "max_seq_len": cfg.max_seq_len, "max_utt_len": cfg.max_utt_len,
+        "model": "enc_only_a", "attack": None, "mask_prob": mask_prob,
+        "num_negative_samples": 2, "visdial_tot_rounds": 10,
+        "train_dense": train_dense,
+    }
+    ref_ds = dvd.VisdialDataset(params)
+    ref_ds.mode = mode
+    gcfg = cfg.replace(mask_prob=mask_prob, num_negative_samples=2,
+                       visdial_tot_rounds=10, train_dense=train_dense,
+                       visdial_processed_train_dense=train_dense_path)
+    got_ds = VisdialDiscDataset(gcfg, make_tokenizer(), mode=mode,
+                                reader=reader)
+    assert len(ref_ds) == len(got_ds)
+    shared = _SharedPyRandom()
+    for idx in range(len(ref_ds)):
+        random.seed(4000 + idx)
+        want = ref_ds[idx]
+        random.seed(4000 + idx)
+        data = got_ds._data()
+        dialog = data["dialogs"][idx]
+        q_cache, a_cache = got_ds._caches(data)
+        if mode == "vd_train":
+            got = got_ds._train_item(idx, dialog, q_cache, a_cache,
+                                     dialog["image_id"], shared)
+        elif mode == "vd_eval_val":
+            got = got_ds._eval_item(idx, dialog, q_cache, a_cache,
+                                    dialog["image_id"], shared)
+        else:
+            got = got_ds._test_item(dialog, q_cache, a_cache,
+                                    dialog["image_id"], shared)
+        assert set(want) == set(got), (mode, set(want) ^ set(got))
+        for key, w in want.items():
+            w = w.numpy() if torch.is_tensor(w) else np.asarray(w)
+            g = np.asarray(got[key])
+            if g.shape != w.shape:
+                assert g.size == w.size, (mode, key, g.shape, w.shape)
+                g = g.reshape(w.shape)
+            np.testing.assert_array_equal(
+                g, w, err_msg=f"{mode}:{key} differs (idx {idx})")
