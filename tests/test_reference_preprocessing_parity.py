@@ -31,6 +31,8 @@ from gstx.preprocessing import preprocess_visdial  # noqa: E402
 REFERENCE_ROOT = "/root/reference"
 REF_SCRIPT = os.path.join(REFERENCE_ROOT, "preprocessing",
                           "pre_process_visdial_v1.0.py")
+REF_SCRIPT_V09 = os.path.join(REFERENCE_ROOT, "preprocessing",
+                              "pre_process_visdial_v0.9.py")
 
 
 def _make_raw_visdial(path, rng, n_dialogs, n_q=25, n_a=30, long_every=3,
@@ -147,3 +149,50 @@ def test_preprocess_visdial_differential(tmp_path):
         test_data = json.load(f)["data"]["dialogs"]
     assert any(len(t["dialog"]) < 10 for t in test_data)  # truncation fired
     assert all(t["round_id"] == 10 for t in test_data)
+
+
+def test_preprocess_visdial_v09_differential(tmp_path):
+    """v0.9 variant (pre_process_visdial_v0.9.py): train + val passes only,
+    no dense/test.  gstx's single implementation must match the reference's
+    separate v0.9 script byte-for-byte on its two outputs."""
+    if not os.path.exists(REF_SCRIPT_V09):
+        pytest.skip("reference tree not available")
+    d = str(tmp_path)
+    vocab_path = write_vocab_file(os.path.join(d, "vocab.txt"))
+    rng = np.random.RandomState(29)
+    raw_train = os.path.join(d, "raw_train.json")
+    raw_val = os.path.join(d, "raw_val.json")
+    _make_raw_visdial(raw_train, rng, 9)
+    _make_raw_visdial(raw_val, rng, 9)
+
+    from test_reference_dataset_parity import _load_ref_dataloader
+
+    _load_ref_dataloader(vocab_path)  # registers pytorch_transformers shims
+    ref_train = os.path.join(d, "ref09_train.json")
+    ref_val = os.path.join(d, "ref09_val.json")
+    argv = ["pre_process_visdial_v0.9.py",
+            "-visdial_train", raw_train, "-visdial_val", raw_val,
+            "-max_seq_len", "64",
+            "-save_path_train", ref_train, "-save_path_val", ref_val]
+    old_argv = sys.argv
+    sys.argv = argv
+    try:
+        runpy.run_path(REF_SCRIPT_V09, run_name="__main__")
+    finally:
+        sys.argv = old_argv
+
+    prefix = os.path.join(d, "gstx09")
+    preprocess_visdial.main([
+        "-visdial_train", raw_train, "-visdial_val", raw_val,
+        "-vocab_path", vocab_path, "-max_seq_len", "64",
+        "-save_prefix", prefix])
+
+    for ref_path, gstx_path, key in (
+            (ref_train, prefix + "_train_processed.json", "train"),
+            (ref_val, prefix + "_val_processed.json", "val")):
+        with open(ref_path) as f:
+            want = json.load(f)
+        with open(gstx_path) as f:
+            got = json.load(f)
+        assert got == want, f"v0.9 {key} differs"
+        assert len(want["data"]["dialogs"]) < 9  # the filter really fired
