@@ -14,8 +14,17 @@ Reference semantics reproduced exactly:
   * no weight decay for biases and LayerNorm parameters, 0.01 otherwise
     (``train_gen.py:204,217-225``), decay scaled by the group lr like torch
     AdamW;
-  * AdamW hyperparameters of pytorch_transformers: b1=0.9, b2=0.999,
-    eps=1e-6.
+  * the EXACT AdamW step of the reference's pinned pytorch-transformers
+    1.2.0 (``requirements.txt``; ``pytorch_transformers/optimization.py``
+    ``AdamW.step``): b1=0.9, b2=0.999, eps=1e-6, with its two signature
+    quirks — eps is added to sqrt(v) BEFORE the bias correction is folded
+    into the step size (``denom = exp_avg_sq.sqrt().add_(eps)``;
+    ``step_size = lr * sqrt(1-b2^t)/(1-b1^t)``), and weight decay is
+    applied AFTER the adam update to the already-updated parameters with
+    the scheduled group lr (``p.data.add_(-lr * wd, p.data)``).  Both
+    differ (second-order small) from ``optax.adamw``, which corrects m,v
+    first and decays the pre-update parameters; pinned by a trajectory
+    differential in ``tests/test_reference_data_parity.py``.
 """
 
 from __future__ import annotations
@@ -81,6 +90,47 @@ class _GroupScaleState(NamedTuple):
     count: jnp.ndarray
 
 
+class _PTTAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_ptt_adam(b1: float = 0.9, b2: float = 0.999,
+                      eps: float = 1e-6) -> optax.GradientTransformation:
+    """The adam core of pytorch-transformers 1.2.0 ``AdamW.step``: eps is
+    added to the UNCORRECTED sqrt(v) and the bias correction is folded into
+    the step size afterwards, i.e.
+
+        u = m / (sqrt(v) + eps) * sqrt(1 - b2^t) / (1 - b1^t)
+
+    (equivalently m_hat / (sqrt(v_hat) + eps/sqrt(1-b2^t)) — the effective
+    eps starts ~32x larger at step 1 and decays to eps), unlike
+    ``optax.scale_by_adam`` which corrects m and v first and adds eps to
+    sqrt(v_hat)."""
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _PTTAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, updates)
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        corr = jnp.sqrt(1.0 - b2 ** tf) / (1.0 - b1 ** tf)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (corr * m / (jnp.sqrt(v) + eps)).astype(m.dtype),
+            mu, nu)
+        return out, _PTTAdamState(count=t, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(lang_lr: float, image_lr: float, warmup_steps: int,
                    t_total: int, min_lr: float = 1e-5,
                    weight_decay: float = 0.01, fixed_t_layer: int = 0,
@@ -88,7 +138,7 @@ def make_optimizer(lang_lr: float, image_lr: float, warmup_steps: int,
     lang_sched = warmup_linear_nonzero(lang_lr, warmup_steps, t_total, min_lr)
     img_sched = warmup_linear_nonzero(image_lr, warmup_steps, t_total, min_lr)
 
-    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6)
+    adam = scale_by_ptt_adam(b1=0.9, b2=0.999, eps=1e-6)
 
     def is_frozen(path):
         # fixed_t/v_layer prefixes run under stop_gradient
@@ -103,26 +153,32 @@ def make_optimizer(lang_lr: float, image_lr: float, warmup_steps: int,
             or any(f"/encoder/v_layer_{n}/" in joined
                    for n in range(fixed_v_layer)))
 
-    def decay_mask(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda p, _: not (is_no_decay_param(p) or is_frozen(p)), params)
-
-    wd = optax.add_decayed_weights(weight_decay, mask=decay_mask)
-
     def init_fn(params):
         return _GroupScaleState(count=jnp.zeros([], jnp.int32))
 
     def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("make_optimizer requires params at update()")
         lr_lang = lang_sched(state.count)
         lr_img = img_sched(state.count)
+
+        def per_leaf(path, u, p):
+            lr = (jnp.where(is_language_param(path), lr_lang, lr_img)
+                  .astype(u.dtype))
+            out = -lr * u
+            # ptt 1.2.0 AdamW applies weight decay AFTER the adam update,
+            # to the already-updated params, with the scheduled group lr
+            # (optimization.py: p.data.add_(-group['lr'] * wd, p.data))
+            if not (is_no_decay_param(path) or is_frozen(path)):
+                out = out - lr * weight_decay * (p + out)
+            return out
+
         new_updates = jax.tree_util.tree_map_with_path(
-            lambda p, u: -jnp.where(is_language_param(p), lr_lang, lr_img)
-            .astype(u.dtype) * u,
-            updates)
+            per_leaf, updates, params)
         return new_updates, _GroupScaleState(count=state.count + 1)
 
     group_scale = optax.GradientTransformation(init_fn, update_fn)
-    return optax.chain(adam, wd, group_scale)
+    return optax.chain(adam, group_scale)
 
 
 def optimizer_step_count(opt_state) -> int:

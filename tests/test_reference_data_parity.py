@@ -15,7 +15,12 @@ This harness imports the actual `/root/reference/utils/data_utils.py` and
   * sequence_mask: exact;
   * WarmupLinearScheduleNonZero: the reference's own torch scheduler
     trajectory vs gstx's warmup_linear_nonzero at every step, both LR
-    groups, through warmup, decay and the min_lr floor.
+    groups, through warmup, decay and the min_lr floor;
+  * the full optimizer trajectory: gstx's make_optimizer vs
+    pytorch-transformers 1.2.0 AdamW (the reference's requirements.txt
+    pin — transcribed here since the package is not installable offline)
+    driven by the reference's OWN scheduler, all four (lr x decay)
+    groups plus a frozen grad-None layer, every leaf at every step.
 """
 
 import os
@@ -218,3 +223,165 @@ def test_scheduler_differential(ref_utils):
         np.testing.assert_allclose(float(img(step)), want[1], rtol=1e-6,
                                    err_msg=f"img lr at step {step}")
         sched.step()
+
+
+class _PTTAdamW(torch.optim.Optimizer):
+    """Transcription of the reference's pinned pytorch-transformers 1.2.0
+    ``optimization.py::AdamW`` (requirements.txt pins
+    pytorch-transformers==1.2.0; train_gen.py:16,247 /
+    train_disc.py:14,195 import and use it) — the package itself is not
+    installable offline, so its step formula is reproduced verbatim
+    modulo the torch-2.x in-place API (``add_(t, alpha=...)`` /
+    ``addcmul_(..., value=...)``).  The two signature quirks under test:
+    eps joins the UNCORRECTED sqrt(v) with the bias correction folded
+    into the step size, and weight decay hits the POST-update params
+    scaled by the scheduled group lr."""
+
+    def __init__(self, params, lr, betas=(0.9, 0.999), eps=1e-6,
+                 weight_decay=0.0, correct_bias=True):
+        defaults = dict(lr=lr, betas=betas, eps=eps,
+                        weight_decay=weight_decay, correct_bias=correct_bias)
+        super().__init__(params, defaults)
+
+    @torch.no_grad()
+    def step(self, closure=None):
+        for group in self.param_groups:
+            for p in group["params"]:
+                if p.grad is None:
+                    continue
+                grad = p.grad
+                state = self.state[p]
+                if len(state) == 0:
+                    state["step"] = 0
+                    state["exp_avg"] = torch.zeros_like(p)
+                    state["exp_avg_sq"] = torch.zeros_like(p)
+                exp_avg, exp_avg_sq = state["exp_avg"], state["exp_avg_sq"]
+                beta1, beta2 = group["betas"]
+                state["step"] += 1
+                exp_avg.mul_(beta1).add_(grad, alpha=1.0 - beta1)
+                exp_avg_sq.mul_(beta2).addcmul_(grad, grad,
+                                                value=1.0 - beta2)
+                denom = exp_avg_sq.sqrt().add_(group["eps"])
+                step_size = group["lr"]
+                if group["correct_bias"]:
+                    bias_correction1 = 1.0 - beta1 ** state["step"]
+                    bias_correction2 = 1.0 - beta2 ** state["step"]
+                    step_size = (step_size * (bias_correction2 ** 0.5)
+                                 / bias_correction1)
+                p.addcdiv_(exp_avg, denom, value=-step_size)
+                if group["weight_decay"] > 0.0:
+                    p.add_(p, alpha=-group["lr"] * group["weight_decay"])
+
+
+def test_adamw_trajectory_differential(ref_utils):
+    """gstx make_optimizer (ptt-AdamW core + group lrs + decay rule +
+    frozen prefixes) vs the transcribed ptt-1.2.0 AdamW driven by the
+    reference's OWN WarmupLinearScheduleNonZero: every leaf equal at
+    every one of 25 steps, through warmup (5), decay (t_total 20) and
+    past-t_total min_lr-floor regions, with grad scales spanning 1e-4
+    to 5 so the eps-before-correction regime is exercised."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gstx.train.optim import (
+        is_language_param,
+        is_no_decay_param,
+        make_optimizer,
+    )
+
+    _, ou = ref_utils
+    lang_lr, img_lr = 2e-5, 2e-4
+    warmup, t_total, wd = 5, 20, 0.01
+    rs = np.random.RandomState(3)
+
+    # (path tuple, shape, grad scale); layer_0 is frozen via fixed_t_layer=1
+    leaves = [
+        (("params", "encoder", "embeddings", "word_embeddings",
+          "embedding"), (7, 6), 1.0),
+        (("params", "encoder", "embeddings", "ln", "scale"), (6,), 1e-4),
+        (("params", "encoder", "embeddings", "ln", "bias"), (6,), 5.0),
+        (("params", "encoder", "encoder", "layer_0", "ffn", "kernel"),
+         (4, 4), 0.0),
+        (("params", "encoder", "encoder", "layer_1", "ffn", "kernel"),
+         (4, 4), 1.0),
+        (("params", "encoder", "encoder", "v_layer_0", "attn", "kernel"),
+         (4, 4), 5.0),
+        (("params", "decoder", "layer_0", "qkv", "kernel"), (3, 5), 1e-4),
+        (("params", "decoder", "layer_0", "qkv", "bias"), (5,), 1.0),
+        (("params", "cls", "mlm_bias"), (7,), 1.0),
+    ]
+
+    def build_tree(values):
+        tree = {}
+        for (path, _, _), v in zip(leaves, values):
+            node = tree
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = v
+        return tree
+
+    inits = [rs.standard_normal(shape).astype(np.float32)
+             for _, shape, _ in leaves]
+    grad_steps = [[(scale * rs.standard_normal(shape)).astype(np.float32)
+                   for _, shape, scale in leaves] for _ in range(25)]
+
+    # --- torch side: transcribed ptt AdamW + the reference's scheduler,
+    # four groups mirroring train_gen.py:217-242 (lang/img x decay/none);
+    # the frozen layer keeps grad=None so ptt AdamW skips it entirely ---
+    class _KeyEntry:  # minimal jax KeyEntry lookalike for the predicates
+        def __init__(self, key):
+            self.key = key
+
+    t_params = [torch.nn.Parameter(torch.from_numpy(v.copy()))
+                for v in inits]
+    frozen_idx = {i for i, (p, _, s) in enumerate(leaves) if s == 0.0}
+    groups = {}
+    for i, (path, _, _) in enumerate(leaves):
+        kp = tuple(_KeyEntry(k) for k in path)
+        lr = lang_lr if is_language_param(kp) else img_lr
+        decay = 0.0 if (is_no_decay_param(kp) or i in frozen_idx) else wd
+        groups.setdefault((lr, decay), []).append(t_params[i])
+    opt = _PTTAdamW([{"params": ps, "lr": lr, "weight_decay": decay}
+                     for (lr, decay), ps in groups.items()],
+                    lr=lang_lr, weight_decay=wd)
+    sched = ou.WarmupLinearScheduleNonZero(opt, warmup_steps=warmup,
+                                           t_total=t_total)
+
+    # --- gstx side ---
+    gopt = make_optimizer(lang_lr, img_lr, warmup_steps=warmup,
+                          t_total=t_total, weight_decay=wd,
+                          fixed_t_layer=1)
+    params = build_tree([jnp.asarray(v) for v in inits])
+    gstate = gopt.init(params)
+
+    for step, gvals in enumerate(grad_steps):
+        for i, p in enumerate(t_params):
+            if i in frozen_idx:
+                p.grad = None  # stop_gradient'd prefix: reference never
+                # registers these in the optimizer
+            else:
+                p.grad = torch.from_numpy(gvals[i].copy())
+        opt.step()
+        sched.step()
+
+        grads = build_tree([
+            jnp.zeros_like(jnp.asarray(g)) if i in frozen_idx
+            else jnp.asarray(g) for i, g in enumerate(gvals)])
+        updates, gstate = gopt.update(grads, gstate, params)
+        params = optax.apply_updates(params, updates)
+
+        flat = {tuple(getattr(k, "key", str(k)) for k in kp): v
+                for kp, v in
+                jax.tree_util.tree_flatten_with_path(params)[0]}
+        for i, (path, _, _) in enumerate(leaves):
+            got = np.asarray(flat[path])
+            want = t_params[i].detach().numpy()
+            np.testing.assert_allclose(
+                got, want, rtol=1e-5, atol=1e-9,
+                err_msg=f"step {step} leaf {'/'.join(path)}")
+
+    # the frozen leaf never moved on either side
+    for i in frozen_idx:
+        np.testing.assert_array_equal(t_params[i].detach().numpy(),
+                                      inits[i])
