@@ -144,25 +144,48 @@ def _prefetch(src, prepare, depth):
 
     q = queue_mod.Queue(maxsize=max(1, depth))
     err = []
+    stop = threading.Event()  # consumer died: unblock + drain the worker
+
+    def put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def work():
         try:
             for idx, batch in src:
-                q.put(prepare(idx, batch))
+                if not put(prepare(idx, batch)):
+                    return
         except BaseException as e:  # re-raised below, incl. KeyboardInterrupt
             err.append(e)
         finally:
-            q.put(None)
+            put(None)
 
     threading.Thread(target=work, daemon=True,
                      name="gstx-generate-prefetch").start()
-    while True:
-        item = q.get()
-        if item is None:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # engine failure (or generator close) while the queue is full: the
+        # worker would otherwise block in q.put forever, pinning up to
+        # `depth` prepared batches of device arrays for the process
+        # lifetime (pytest / selftrain call main() repeatedly)
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue_mod.Empty:
+                break
 
 
 def main(argv=None, max_batches=None, stats_out=None, finalize=True):

@@ -143,7 +143,14 @@ class NativeWordPiece:
             raise IOError(f"cannot load vocab: {vocab_path}")
         self._max_ids = max_ids
 
-    _SPECIALS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+    @property
+    def _SPECIALS(self):
+        # single source of truth with the Python path: the decline test
+        # below must track _split_on_specials' never-split list exactly,
+        # or the two tokenizations silently diverge (lazy import — the
+        # Python tokenizer itself lazily imports this module)
+        from gstx.data.tokenizer import _SPECIAL_TOKENS
+        return _SPECIAL_TOKENS
 
     def encode(self, text: str) -> Optional[List[int]]:
         try:

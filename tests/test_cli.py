@@ -97,6 +97,31 @@ def test_cli_generate_prefetch_identity(cli_env):
     assert pre == inline
 
 
+def test_prefetch_worker_unblocks_on_consumer_failure():
+    """If the consumer dies while the queue is full, the worker thread must
+    terminate (not block in q.put forever holding prepared device batches)
+    and the queued items must be released — pytest and selftrain call
+    generate main() repeatedly in one process."""
+    import threading
+    import time
+
+    from gstx.cli.generate import _prefetch
+
+    before = {t.name for t in threading.enumerate()}
+    gen = _prefetch(enumerate(range(50)), lambda i, b: (i, b), depth=2)
+    assert next(gen) == (0, 0)
+    gen.close()  # consumer abandons the iterator mid-stream
+
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        alive = {t.name for t in threading.enumerate()} - before
+        if not any(n.startswith("gstx-generate-prefetch") for n in alive):
+            break
+        time.sleep(0.02)
+    else:
+        raise AssertionError("prefetch worker still alive after close()")
+
+
 def test_cli_generate_resume_identical(cli_env):
     """Preemption recovery: a generate run killed mid-chunk resumes from its
     partial sidecar and produces the byte-identical final JSON (per-batch
