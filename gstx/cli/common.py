@@ -133,7 +133,8 @@ def build_model(config: GSTConfig, use_decoder: bool = True,
     dec_cfg = config.decoder_config()
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     model = GSTVisualDialog(enc_cfg, dec_cfg, use_decoder=use_decoder,
-                            dtype=dtype, remat=remat, mesh=mesh)
+                            dtype=dtype, remat=remat,
+                            remat_policy=config.remat_policy, mesh=mesh)
     return model, enc_cfg, dec_cfg
 
 

@@ -253,6 +253,16 @@ class GSTConfig:
     # FLOPs for the f32 attention-score memory; reference batch 72 does not
     # fit a 16 GB chip without it).  Decode/eval paths never remat.
     remat: bool = True
+    remat_policy: str = "full"  # what jax.checkpoint saves across the
+    # training forward (models/layers.py::checkpoint_policy): 'full' saves
+    # only layer inputs (minimum memory, recomputes the whole layer);
+    # 'dots' additionally saves the weight-matmul outputs so the backward
+    # skips re-running the MXU work while the [B,H,S,S] attention scores
+    # are still recomputed (more memory, fewer FLOPs).  Measured at the
+    # production batch-72 step: 'dots' is 4% SLOWER on v5e (441 vs 460
+    # ms/step, two repeats each, PERF.md round 4) — the recompute is not
+    # the bottleneck and the extra live memory costs scheduling; the knob
+    # exists for larger-than-reference configs where it can flip
     seed: int = 0
     log_every: int = 10
     use_pallas: bool = True  # fused pallas FFN/LN epilogue kernels (TPU bf16)

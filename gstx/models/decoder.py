@@ -30,6 +30,7 @@ from gstx.core.config import DecoderConfig
 from gstx.models.layers import (
     attend,
     causal_additive_mask,
+    checkpoint_policy,
     dense as layers_dense,
     layer_norm,
     merge_heads,
@@ -247,6 +248,7 @@ class GSTDecoderModel(nn.Module):
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # per-layer jax.checkpoint on the teacher-forced path
+    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots'
 
     def setup(self):
         self.layers = [
@@ -307,7 +309,8 @@ class GSTDecoderModel(nn.Module):
             call = nn.remat(
                 lambda layer, h, sm, mem, mm, det: layer(
                     h, sm, mem, mm, deterministic=det),
-                static_argnums=(5,))
+                static_argnums=(5,),
+                policy=checkpoint_policy(self.remat_policy))
         else:
             call = lambda layer, h, sm, mem, mm, det: layer(
                 h, sm, mem, mm, deterministic=det)

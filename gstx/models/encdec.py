@@ -45,6 +45,7 @@ class GSTVisualDialog(nn.Module):
     # per-layer jax.checkpoint (training memory; reference batch 72 needs
     # ~2.7 GB of f32 attention scores per text stream without it)
     remat: bool = False
+    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots'
 
     def _shard_logits(self, x):
         """Keep the trailing vocab axis of logits partitioned over the
@@ -66,12 +67,16 @@ class GSTVisualDialog(nn.Module):
 
     def setup(self):
         self.encoder = GSTEncoderModel(self.enc_config, dtype=self.dtype,
-                                       remat=self.remat, name="encoder")
+                                       remat=self.remat,
+                                       remat_policy=self.remat_policy,
+                                       name="encoder")
         self.cls = PreTrainingHeads(self.enc_config, dtype=self.dtype,
                                     name="cls")
         if self.use_decoder:
             self.decoder = GSTDecoderModel(self.dec_config, dtype=self.dtype,
-                                           remat=self.remat, name="decoder")
+                                           remat=self.remat,
+                                           remat_policy=self.remat_policy,
+                                           name="decoder")
             # VLFusion (visual_dialog_model.py:123-135)
             self.fusion_fc_l = dense(
                 self.enc_config.hidden_size, self.dtype, "fusion_fc_l")

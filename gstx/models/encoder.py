@@ -27,6 +27,7 @@ class GSTEncoderModel(nn.Module):
     config: EncoderConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # per-layer jax.checkpoint for the training path
+    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots'
 
     def setup(self):
         cfg = self.config
@@ -35,7 +36,9 @@ class GSTEncoderModel(nn.Module):
         self.v_embeddings = ImageEmbeddings(cfg, dtype=self.dtype,
                                             name="v_embeddings")
         self.encoder = TwoStreamEncoder(cfg, dtype=self.dtype,
-                                        remat=self.remat, name="encoder")
+                                        remat=self.remat,
+                                        remat_policy=self.remat_policy,
+                                        name="encoder")
         self.t_pooler = Pooler(cfg.bi_hidden_size, dtype=self.dtype,
                                name="t_pooler")
         self.v_pooler = Pooler(cfg.bi_hidden_size, dtype=self.dtype,

@@ -43,6 +43,26 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def checkpoint_policy(name: str):
+    """Map the ``-remat_policy`` flag to a ``jax.checkpoint`` policy.
+
+    ``full`` (policy None): save only each layer's inputs and recompute the
+    whole layer in the backward pass — minimum live memory, one extra
+    forward of FLOPs.  ``dots``:
+    ``jax.checkpoint_policies.dots_with_no_batch_dims_saveable`` — save the
+    outputs of the weight matmuls (QKV / attention-output / FFN projections,
+    whose dot_general carries no batch dims) and recompute only the cheap
+    elementwise work plus the batched attention dots, so the [B,H,S,S]
+    score tensors still never live across the forward while the MXU matmuls
+    are not re-executed.  Numerics are identical either way — the policy
+    only chooses saved-vs-recomputed."""
+    if name in (None, "", "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat policy {name!r} (use 'full' or 'dots')")
+
+
 ACT2FN = {"gelu": gelu, "relu": jax.nn.relu, "swish": jax.nn.silu}
 
 

@@ -31,6 +31,7 @@ from gstx.models.layers import (
     PLayerNorm,
     TransformerLayer,
     attend,
+    checkpoint_policy,
     dense,
     layer_norm,
     merge_heads,
@@ -183,6 +184,7 @@ class TwoStreamEncoder(nn.Module):
     # Forward-only paths (decode/eval) leave this False — checkpoint is a
     # semantic no-op without grad but changes the compiled program.
     remat: bool = False
+    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots'
 
     def setup(self):
         cfg = self.config
@@ -227,13 +229,14 @@ class TwoStreamEncoder(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         if self.remat:
+            policy = checkpoint_policy(self.remat_policy)
             stream = nn.remat(
                 lambda layer, x, m, det: layer(x, m, deterministic=det),
-                static_argnums=(3,))
+                static_argnums=(3,), policy=policy)
             co = nn.remat(
                 lambda layer, xv, mv, xt, mt, det: layer(
                     xv, mv, xt, mt, deterministic=det),
-                static_argnums=(5,))
+                static_argnums=(5,), policy=policy)
         else:
             stream = lambda layer, x, m, det: layer(x, m, deterministic=det)
             co = lambda layer, xv, mv, xt, mt, det: layer(

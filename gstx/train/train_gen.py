@@ -133,7 +133,8 @@ def init_model_and_state(config: GSTConfig, rng, t_total: int):
     dec_cfg = config.decoder_config()
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
     model = GSTVisualDialog(enc_cfg, dec_cfg, dtype=dtype,
-                            remat=config.remat)
+                            remat=config.remat,
+                            remat_policy=config.remat_policy)
 
     b = 2
     l, r, t = config.max_seq_len, config.max_regions, config.max_utt_len

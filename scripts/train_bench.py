@@ -18,8 +18,11 @@ from gstx.train.train_gen import make_train_step
 BATCH = 72           # options.py:60
 B_IMG, ROUNDS = 8, 10
 S, R, T = 256, 37, 25
+REMAT_POLICY = sys.argv[1] if len(sys.argv) > 1 else "full"  # 'full' | 'dots'
 enc_cfg, dec_cfg = EncoderConfig(), DecoderConfig()
-model = GSTVisualDialog(enc_cfg, dec_cfg, dtype=jnp.bfloat16, remat=True)
+model = GSTVisualDialog(enc_cfg, dec_cfg, dtype=jnp.bfloat16, remat=True,
+                        remat_policy=REMAT_POLICY)
+print(f"remat_policy={REMAT_POLICY}", flush=True)
 rng_np = np.random.RandomState(0)
 init_batch = dict(
     input_ids=jnp.ones((2, S), jnp.int32),

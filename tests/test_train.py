@@ -185,6 +185,43 @@ def test_gen_train_step_decreases_loss(train_env):
 
 
 @pytest.mark.slow
+def test_remat_policy_identity(train_env, tiny_configs):
+    """'-remat_policy dots' only changes what jax.checkpoint SAVES across
+    the training forward (models/layers.py::checkpoint_policy) — one train
+    step under 'full' and 'dots' must produce the same loss and params."""
+    cfg, tok, model, params = train_env
+    ds = VisdialGenDataset(cfg, tok, mode="vd_train")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = {k: jnp.asarray(v) for k, v in next(dl.epoch(0)).items()}
+    optimizer = make_optimizer(cfg.lr, cfg.image_lr, cfg.warmup_steps, 1000,
+                               cfg.min_lr)
+    rng = jax.random.PRNGKey(7)
+
+    enc_cfg, dec_cfg = tiny_configs
+    enc_cfg = dataclasses.replace(enc_cfg, vocab_size=256)
+    dec_cfg = dataclasses.replace(dec_cfg, vocab_size=256)
+    results = {}
+    for policy in ("full", "dots"):
+        m = GSTVisualDialog(enc_cfg, dec_cfg, remat=True,
+                            remat_policy=policy)
+        step = make_train_step(m, optimizer, cfg.batch_size)
+        p, _, metrics = step(jax.device_put(params), optimizer.init(params),
+                             batch, rng)
+        results[policy] = (jax.device_get(p), float(metrics["lm_loss"]))
+
+    (p_full, loss_full), (p_dots, loss_dots) = (results["full"],
+                                                results["dots"])
+    np.testing.assert_allclose(loss_dots, loss_full, rtol=1e-6)
+    flat_full = jax.tree_util.tree_leaves_with_path(p_full)
+    flat_dots = jax.tree_util.tree_leaves(p_dots)
+    assert len(flat_full) == len(flat_dots)
+    for (path, a), b in zip(flat_full, flat_dots):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.slow
 def test_batch_multiply_accumulates_gradients(train_env):
     """-batch_multiply N = gradient accumulation: the jitted step must
     equal N manual micro-steps (same per-micro rng split and row sampling)
