@@ -430,7 +430,14 @@ def main(argv=None, max_batches=None, stats_out=None, finalize=True):
         prepared = _prefetch(batches(), prepare, depth)
     else:
         prepared = (prepare(i, b) for i, b in batches())
-    with trace(config.trace_dir):
+    # closing(): _prefetch's worker shutdown lives in its finally, which an
+    # abandoned generator only reaches on GC — an engine exception whose
+    # traceback outlives main() (pytest ExceptionInfo, callers that keep the
+    # error) would otherwise pin the worker and `depth` prepared device
+    # batches; close() runs it deterministically on ANY exit
+    import contextlib
+
+    with trace(config.trace_dir), contextlib.closing(prepared):
         for item in prepared:
             dispatch(*item)
             if len(pending) >= depth:

@@ -79,14 +79,15 @@ def main(argv=None, max_steps=None):
                                fixed_t_layer=enc_cfg.fixed_t_layer,
                                fixed_v_layer=enc_cfg.fixed_v_layer)
     start_iter_id = 0
+    start_exact = False
     opt_state = optimizer.init(params)
     if resume_ckpt:
         # exact preemption resume (params + optimizer + step), the same
         # mechanism as the generative trainer's -save_every_steps path
         from gstx.train.train_gen import load_start_checkpoint
 
-        params, opt_state, start_iter_id = load_start_checkpoint(
-            config, params, opt_state)
+        params, opt_state, start_iter_id, start_exact = \
+            load_start_checkpoint(config, params, opt_state)
     params = shard_by_path(mesh, params)
     opt_state = shard_by_path(mesh, opt_state)
     step_fn = make_disc_train_step(model, optimizer, config)
@@ -135,8 +136,10 @@ def main(argv=None, max_steps=None):
                         vals["img_loss"]))
                 metrics_writer.log(iter_id, **vals)
                 start_t = now
+            # see train_gen.py: a step-ckpt resume replays nothing, so an
+            # epoch boundary that coincides with start_iter_id still saves
             if iter_id % num_iter_epoch == 0 and iter_id != 0 \
-                    and iter_id != start_iter_id:
+                    and (start_exact or iter_id != start_iter_id):
                 ckpt_lib.save_checkpoint(
                     os.path.join(config.save_path,
                                  f"vd_train_disc_{epoch_id}.ckpt"),
@@ -144,9 +147,12 @@ def main(argv=None, max_steps=None):
                 logger.write(f"\n{epoch_id} epoch ended.")
             if config.save_every_steps > 0 and \
                     (iter_id + 1) % config.save_every_steps == 0:
+                # '_disc' suffix (like the epoch ckpts above): both trainers
+                # run -mode vd_train, so a shared save_path must not let the
+                # two rotating step checkpoints clobber each other
                 ckpt_lib.save_checkpoint(
                     os.path.join(config.save_path,
-                                 f"{config.mode}_step.ckpt"),
+                                 f"{config.mode}_disc_step.ckpt"),
                     params, opt_state, iter_id + 1)
             if max_steps is not None and \
                     iter_id - start_iter_id + 1 >= max_steps:

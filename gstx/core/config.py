@@ -197,7 +197,8 @@ class GSTConfig:
     num_epochs: int = 100
     batch_multiply: int = 1
     save_every_steps: int = 0  # >0: rotating mid-epoch step checkpoint
-    # ({mode}_step.ckpt) every N iterations for preemption recovery; resume
+    # ({mode}_step.ckpt; the disc trainer uses {mode}_disc_step.ckpt so a
+    # shared save_path cannot clobber) every N iterations; resume
     # with -start_path <ckpt> -continue is EXACT (per-step fold_in rng +
     # per-(epoch,index) loader item seeds replay the identical stream) —
     # the reference loses everything since the last epoch boundary

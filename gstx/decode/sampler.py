@@ -83,7 +83,10 @@ def sample_sequence(
                 logits, ngram_source, tokens, step + 1,
                 settings.ngram_blocking_size)
         rng, sub = jax.random.split(rng)
-        if settings.fused_sampler and settings.top_k > 0 \
+        # the fused path unrolls top_k sequential extract rounds at trace
+        # time — sound only in top_k_filter's hierarchical regime (k <= 16);
+        # a larger -top_k falls through to the unfused lax.top_k chain
+        if settings.fused_sampler and 0 < settings.top_k <= 16 \
                 and settings.top_p <= 0.0:
             nxt = sample_token_topk(sub, logits, settings.top_k)
         else:

@@ -41,45 +41,19 @@ def _kth_largest(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.max(x, axis=-1, keepdims=True)
 
 
-def _kth_largest_hier(logits: jnp.ndarray, k: int,
-                      block: int = 128) -> jnp.ndarray:
-    """Exact k-th largest (duplicate-aware) in ~2 full passes instead of k.
+def _hier_extract(logits: jnp.ndarray, k: int, block: int, record: bool):
+    """Shared blocked extract-and-mask core of :func:`_kth_largest_hier`
+    and :func:`_topk_hier`.
 
-    One pass builds per-128-lane-block maxima; each of the k-1
-    extract-and-mask rounds then gathers only the single block holding the
-    current global maximum, masks one occurrence there, and refreshes that
-    block's maximum.  Identical semantics to :func:`_kth_largest` (argmax
-    breaks ties at the lowest index, whether reached directly or through
-    the first block whose maximum ties).
-    """
-    batch_shape = logits.shape[:-1]
-    v = logits.shape[-1]
-    b = 1
-    for d in batch_shape:
-        b *= d
-    nb = -(-v // block)
-    x = logits.reshape(b, v)
-    if nb * block != v:
-        x = jnp.pad(x, ((0, 0), (0, nb * block - v)),
-                    constant_values=-jnp.inf)
-    x = x.reshape(b, nb, block)
-    bmax = jnp.max(x, axis=-1)                      # [B, nb] — full pass
-    rows = jnp.arange(b)
-    for _ in range(k - 1):
-        bi = jnp.argmax(bmax, axis=-1)              # [B]
-        blk = x[rows, bi]                           # [B, block]
-        pos = jnp.argmax(blk, axis=-1)
-        blk = blk.at[rows, pos].set(-jnp.inf)
-        x = x.at[rows, bi].set(blk)
-        bmax = bmax.at[rows, bi].set(jnp.max(blk, axis=-1))
-    return jnp.max(bmax, axis=-1, keepdims=True).reshape(*batch_shape, 1)
-
-
-def _topk_hier(logits: jnp.ndarray, k: int,
-               block: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k (values, indices) in ~2 full passes, descending, ties
-    broken at the lowest index (same extraction as :func:`_kth_largest_hier`
-    with the per-round (block, position) recorded as a global index)."""
+    One full pass builds per-``block``-lane maxima; each round then gathers
+    only the single block holding the current global maximum, masks one
+    occurrence there, and refreshes that block's maximum (argmax breaks
+    ties at the lowest index, whether reached directly or through the
+    first block whose maximum ties).  ``record=False`` runs k-1 rounds and
+    returns the remaining global max (the k-th largest, [.., 1]) without
+    the recording gathers, so the kth-largest program is unchanged by the
+    sharing; ``record=True`` runs k rounds collecting each round's (value,
+    global index)."""
     batch_shape = logits.shape[:-1]
     v = logits.shape[-1]
     b = 1
@@ -94,18 +68,36 @@ def _topk_hier(logits: jnp.ndarray, k: int,
     bmax = jnp.max(x, axis=-1)                      # [B, nb] — full pass
     rows = jnp.arange(b)
     vals, idxs = [], []
-    for _ in range(k):
+    for _ in range(k if record else k - 1):
         bi = jnp.argmax(bmax, axis=-1)              # [B]
         blk = x[rows, bi]                           # [B, block]
         pos = jnp.argmax(blk, axis=-1)
-        vals.append(blk[rows, pos])
-        idxs.append(bi * block + pos)
+        if record:
+            vals.append(blk[rows, pos])
+            idxs.append(bi * block + pos)
         blk = blk.at[rows, pos].set(-jnp.inf)
         x = x.at[rows, bi].set(blk)
         bmax = bmax.at[rows, bi].set(jnp.max(blk, axis=-1))
+    if not record:
+        return jnp.max(bmax, axis=-1, keepdims=True).reshape(*batch_shape, 1)
     vals = jnp.stack(vals, axis=-1).reshape(*batch_shape, k)
     idxs = jnp.stack(idxs, axis=-1).reshape(*batch_shape, k)
     return vals, idxs.astype(jnp.int32)
+
+
+def _kth_largest_hier(logits: jnp.ndarray, k: int,
+                      block: int = 128) -> jnp.ndarray:
+    """Exact k-th largest (duplicate-aware) in ~2 full passes instead of k.
+    Identical semantics to :func:`_kth_largest`."""
+    return _hier_extract(logits, k, block, record=False)
+
+
+def _topk_hier(logits: jnp.ndarray, k: int,
+               block: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k (values, indices) in ~2 full passes, descending, ties
+    broken at the lowest index (same extraction as :func:`_kth_largest_hier`
+    with the per-round (block, position) recorded as a global index)."""
+    return _hier_extract(logits, k, block, record=True)
 
 
 def sample_token_topk(rng, logits: jnp.ndarray, k: int) -> jnp.ndarray:

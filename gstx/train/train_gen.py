@@ -176,9 +176,10 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
         config, init_rng, t_total)
 
     start_iter_id = 0
+    start_exact = False
     if config.start_path:
-        params, opt_state, start_iter_id = load_start_checkpoint(
-            config, params, opt_state)
+        params, opt_state, start_iter_id, start_exact = \
+            load_start_checkpoint(config, params, opt_state)
 
     from gstx.core.mesh import shard_by_path, training_mesh
 
@@ -247,7 +248,14 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
                         now - start_t, loss))
                 metrics_writer.log(iter_id, lm_loss=loss, lr=lr_lang)
                 start_t = now
-            if iter_id % num_iter_epoch == 0 and iter_id != start_iter_id:
+            # reference guard (train_gen.py:345): `iter_id != start_iter_id`
+            # suppresses the duplicate save when an EPOCH-ckpt resume replays
+            # its stored iteration.  A -save_every_steps resume stores the
+            # COMPLETED count (replays nothing), so when it lands exactly on
+            # an epoch boundary the boundary iteration is fresh and its epoch
+            # checkpoint must still be written (start_exact).
+            if iter_id % num_iter_epoch == 0 and (
+                    start_exact or iter_id != start_iter_id):
                 ckpt_lib.save_checkpoint(
                     os.path.join(
                         config.save_path,
@@ -274,8 +282,15 @@ def train_gen(config: GSTConfig, dataset, num_iter_epoch: int,
 def load_start_checkpoint(config: GSTConfig, params, opt_state):
     """Resume / warm-start semantics (train_gen.py:252-290): '-continue'
     restores params+optimizer (+step when mode matches the ckpt name);
-    otherwise only encoder weights are warm-started."""
+    otherwise only encoder weights are warm-started.
+
+    Returns ``(params, opt_state, start_iter_id, start_exact)``:
+    ``start_exact`` is True for a ``-save_every_steps`` rotating-checkpoint
+    resume, whose stored step counts COMPLETED iterations (nothing is
+    replayed) — unlike the reference-faithful epoch/final checkpoints whose
+    stored ``iter_id`` is processed again on resume."""
     start_iter_id = 0
+    start_exact = False
     path = config.start_path
     if path.endswith(".ckpt") and os.path.isdir(path):
         # restore against a live template so optax NamedTuple states keep
@@ -300,6 +315,8 @@ def load_start_checkpoint(config: GSTConfig, params, opt_state):
             if "opt_state" in restored and config.mode in path:
                 opt_state = restored["opt_state"]
                 start_iter_id = int(restored["step"])
+                start_exact = (os.path.basename(path.rstrip("/"))
+                               .endswith("_step.ckpt"))
         else:
             params = _merge_encoder_only(params, new_params)
     else:
@@ -314,7 +331,7 @@ def load_start_checkpoint(config: GSTConfig, params, opt_state):
             params = _merge_trees(params, {"params": tree})
         else:
             params = _merge_encoder_only(params, {"params": tree})
-    return params, opt_state, start_iter_id
+    return params, opt_state, start_iter_id, start_exact
 
 
 def _merge_trees(template, new):

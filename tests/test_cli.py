@@ -330,6 +330,63 @@ def test_cli_train_gen_kill_resume_exact(cli_env, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_cli_train_gen_step_resume_on_epoch_boundary(cli_env,
+                                                     tmp_path_factory):
+    """A -save_every_steps resume whose stored step lands EXACTLY on an
+    epoch boundary processes the boundary iteration exactly once and must
+    still write that epoch's named checkpoint: the reference guard
+    `iter_id != start_iter_id` (train_gen.py:345) only exists to suppress
+    the duplicate save when an EPOCH-ckpt resume replays its stored
+    iteration, and must not eat a fresh boundary iteration's save."""
+    from gstx.cli.common import build_tokenizer
+    from gstx.cli.train_gen import main
+    from gstx.core.checkpoint import restore_checkpoint
+    from gstx.data.visdial import VisdialGenDataset
+
+    args, cfg, ckpt = cli_env
+    ds = VisdialGenDataset(cfg.replace(batch_size=4), build_tokenizer(cfg),
+                           mode="vd_train")
+    n = max(1, len(ds) // 4)  # num_iter_epoch at batch 4, like the CLI
+    base = ["-mode", "vd_train", "-model", "enc_dec_a", "-batch_size", "4",
+            "-num_epochs", "4", "-log_every", "1",
+            "-save_every_steps", str(n)]
+    dir_a = str(tmp_path_factory.mktemp("boundary_uninterrupted"))
+    dir_b = str(tmp_path_factory.mktemp("boundary_preempted"))
+
+    def with_save(path):
+        out = list(args)
+        i = out.index("-save_path")
+        out[i + 1] = path
+        return out
+
+    epoch1 = "vd_train__1.ckpt"  # written after processing iteration n
+    main(with_save(dir_a) + base, max_steps=n + 1)
+    assert os.path.isdir(os.path.join(dir_a, epoch1))
+
+    # preempted run: stops after iteration n-1; the step ckpt stores
+    # step=n — exactly the epoch boundary
+    main(with_save(dir_b) + base, max_steps=n)
+    step_ckpt = os.path.join(dir_b, "vd_train_step.ckpt")
+    assert os.path.isdir(step_ckpt)
+    assert not os.path.isdir(os.path.join(dir_b, epoch1))
+
+    # resume processes iteration n (fresh, exactly once) and must save the
+    # epoch-1 checkpoint, bit-identical to the uninterrupted run's
+    main(with_save(dir_b) + base + ["-start_path", step_ckpt, "-continue"],
+         max_steps=1)
+    assert os.path.isdir(os.path.join(dir_b, epoch1))
+    pa = restore_checkpoint(os.path.join(dir_a, epoch1))["params"]
+    pb = restore_checkpoint(os.path.join(dir_b, epoch1))["params"]
+    import jax
+    la = jax.tree_util.tree_leaves_with_path(pa)
+    lb = dict(jax.tree_util.tree_leaves_with_path(pb))
+    assert len(la) == len(lb)
+    for path, leaf in la:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(lb[path]), err_msg=str(path))
+
+
+@pytest.mark.slow
 def test_cli_train_disc_kill_resume_exact(cli_env, tmp_path_factory):
     """Same preemption-recovery contract for the discriminative trainer."""
     from gstx.cli.train_disc import main
@@ -348,7 +405,9 @@ def test_cli_train_disc_kill_resume_exact(cli_env, tmp_path_factory):
 
     ref_params, _ = main(with_save(dir_a) + base, max_steps=5)
     main(with_save(dir_b) + base, max_steps=3)
-    step_ckpt = os.path.join(dir_b, "vd_train_step.ckpt")
+    # '_disc' suffix: must not collide with the gen trainer's step ckpt
+    # under a shared save_path (both trainers run -mode vd_train)
+    step_ckpt = os.path.join(dir_b, "vd_train_disc_step.ckpt")
     assert os.path.isdir(step_ckpt)
     resumed_params, _ = main(
         with_save(dir_b) + base + ["-start_path", step_ckpt, "-continue"],

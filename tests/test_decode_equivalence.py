@@ -170,3 +170,32 @@ def test_early_eos_exit_matches_fixed_length_loop():
     # sanity: staggered EOS really happened (row i ends after ~i+1 tokens)
     lens = (np.asarray(got) != PAD_ID).sum(-1)
     assert lens[0] < lens[-1] <= max_steps
+
+
+def test_fused_sampler_large_k_falls_back_to_unfused():
+    """The fused sampler unrolls top_k sequential extract rounds at trace
+    time, so its gate is bounded at k <= 16 (top_k_filter's hierarchical
+    regime): with -top_k 32 a fused-enabled run must take the unfused
+    lax.top_k chain — token streams with fused on/off are IDENTICAL (the
+    fused path would consume the rng differently, so equality pins the
+    fallback, not luck)."""
+    import jax
+    from gstx.core.config import CLS_ID, SEP_ID
+    from gstx.decode.sampler import DecodeSettings, sample_sequence
+
+    batch, vocab = 4, 512
+
+    def step_fn(tok, pos, caches):
+        key = jax.random.fold_in(jax.random.PRNGKey(5), pos)
+        return jax.random.normal(key, (batch, vocab)) * 3.0, caches
+
+    rng = jax.random.PRNGKey(11)
+    outs = {}
+    for fused in (False, True):
+        settings = DecodeSettings(max_steps=8, temperature=0.9, top_k=32,
+                                  top_p=0.0, ngram_blocking_size=0,
+                                  fused_sampler=fused)
+        outs[fused] = np.asarray(sample_sequence(
+            step_fn, rng, batch, caches=0, settings=settings,
+            bos_id=CLS_ID, eos_id=SEP_ID))
+    np.testing.assert_array_equal(outs[True], outs[False])

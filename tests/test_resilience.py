@@ -33,8 +33,10 @@ def test_train_resume_from_checkpoint(tmp_path):
 
     cfg2 = cfg.replace(start_path=ckpt, continue_training=True,
                        mode="vd_train")
-    p2, o2, start_iter = load_start_checkpoint(cfg2, params, opt_state)
+    p2, o2, start_iter, exact = load_start_checkpoint(cfg2, params,
+                                                      opt_state)
     assert start_iter == 37
+    assert not exact  # epoch-named ckpt: its stored iteration is replayed
     leaves1 = jax.tree_util.tree_leaves(params)
     leaves2 = jax.tree_util.tree_leaves(p2)
     for a, b in zip(leaves1, leaves2):
@@ -42,7 +44,7 @@ def test_train_resume_from_checkpoint(tmp_path):
 
     # warm start (no -continue): only encoder/cls subtrees transfer
     cfg3 = cfg.replace(start_path=ckpt, continue_training=False)
-    p3, _, start3 = load_start_checkpoint(cfg3, params, opt_state)
+    p3, _, start3, _ = load_start_checkpoint(cfg3, params, opt_state)
     assert start3 == 0
     assert "decoder" in p3["params"]
 
