@@ -25,6 +25,28 @@ import numpy as np
 TARGET_TOKENS_PER_SEC_PER_CHIP = 3.6e6 * 10 * 2 * 18 / 86400.0 / 16.0
 
 
+def retry_transient(fn, attempts=3, base_delay=60.0, sleep=time.sleep):
+    """Bounded retry for the TPU tunnel's transient transport faults.
+
+    Round 4's driver run died on a single "response body closed before all
+    bytes were read" JaxRuntimeError inside the warmup compile
+    (BENCH_r04.json rc=1) while a same-day clean re-run measured 12,356
+    tok/s/chip — the failure class is transient, so the measured body gets
+    `attempts` tries with linear backoff.  Compiles are persistent-cached,
+    making retries cheap.  Logs to stderr only; re-raises the last error."""
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except Exception as e:  # JaxRuntimeError / transport faults
+            print(f"[bench] attempt {attempt}/{attempts} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            if attempt == attempts:
+                raise
+            delay = base_delay * attempt
+            print(f"[bench] retrying in {delay:.0f}s", file=sys.stderr)
+            sleep(delay)
+
+
 def bias_eos_logit(params, token_id: int, amount: float):
     """Functional DEEP update of the decoder LM bias at one token id.
 
@@ -173,28 +195,35 @@ def main():
         return (np.asarray(out.questions), np.asarray(out.answers),
                 np.asarray(out.answer_ppl))
 
-    t0 = time.time()
-    run(jax.random.PRNGKey(1))
-    print(f"[bench] compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    def measure():
+        t0 = time.time()
+        run(jax.random.PRNGKey(1))
+        print(f"[bench] compile+warmup {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
-    # steady-state throughput with `pipeline` batches in flight — exactly
-    # how cli/generate drives the engine (dispatch batch i+1 before
-    # fetching batch i); per-round dispatch gaps overlap across batches
-    n_batches = max(args.repeats, 3)
-    t0 = time.time()
-    pending = []
-    for i in range(n_batches):
-        out = engine(q_params, a_params, batch, jax.random.PRNGKey(10 + i))
-        pending.append(out)
-        if len(pending) >= args.pipeline:
+        # steady-state throughput with `pipeline` batches in flight —
+        # exactly how cli/generate drives the engine (dispatch batch i+1
+        # before fetching batch i); per-round dispatch gaps overlap across
+        # batches
+        n_batches = max(args.repeats, 3)
+        t0 = time.time()
+        pending = []
+        for i in range(n_batches):
+            out = engine(q_params, a_params, batch,
+                         jax.random.PRNGKey(10 + i))
+            pending.append(out)
+            if len(pending) >= args.pipeline:
+                o = pending.pop(0)
+                np.asarray(o.questions), np.asarray(o.answers), \
+                    np.asarray(o.answer_ppl)
+        while pending:
             o = pending.pop(0)
             np.asarray(o.questions), np.asarray(o.answers), \
                 np.asarray(o.answer_ppl)
-    while pending:
-        o = pending.pop(0)
-        np.asarray(o.questions), np.asarray(o.answers), \
-            np.asarray(o.answer_ppl)
-    wall = (time.time() - t0) / n_batches
+        return (time.time() - t0) / n_batches
+
+    # The JSON contract on stdout is unchanged: printed once, on success.
+    wall = retry_transient(measure)
 
     # generated tokens: every decode step samples a token for each of the
     # two models (the reference counts the same way: 18-step decodes)

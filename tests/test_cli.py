@@ -627,6 +627,43 @@ def test_cli_generate_multihost_striping(cli_env, monkeypatch):
     assert 0 < len(data) <= 2
 
 
+def test_bench_retry_transient():
+    """bench.py's bounded retry (round 4's driver artifact was lost to ONE
+    transient tunnel fault): transient failures re-attempt with linear
+    backoff, success stops retrying, and a persistent fault re-raises
+    after exactly `attempts` tries."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("response body closed")
+        return 42.0
+
+    assert bench.retry_transient(flaky, attempts=3, base_delay=7.0,
+                                 sleep=sleeps.append) == 42.0
+    assert calls["n"] == 3
+    assert sleeps == [7.0, 14.0]  # linear backoff, none after success
+
+    calls["n"] = 0
+    with pytest.raises(RuntimeError):
+        bench.retry_transient(
+            lambda: (_ for _ in ()).throw(RuntimeError("down")),
+            attempts=2, base_delay=0.0, sleep=sleeps.append)
+
+    # zero retries on first-try success
+    sleeps.clear()
+    assert bench.retry_transient(lambda: "ok", sleep=sleeps.append) == "ok"
+    assert sleeps == []
+
+
 def test_bench_short_answers_bias_preserves_param_tree():
     """Regression: the -short_answers EOS-bias surgery must DEEP-update the
     one lm_bias leaf.  A flax.core.copy with a nested dict merges only the

@@ -273,6 +273,79 @@ class _PTTAdamW(torch.optim.Optimizer):
                     p.add_(p, alpha=-group["lr"] * group["weight_decay"])
 
 
+def test_adamw_hand_computed_literal_steps():
+    """Closed-form pin of the two ptt-1.2.0 AdamW signature quirks, with
+    every expected value a hand-derived literal (not computed by the code
+    under test), so a transcription error in the trajectory oracle above
+    (_PTTAdamW is the builder's own transcription — pytorch_transformers
+    1.2.0 is not installable offline) cannot self-confirm.
+
+    Derivation (b1=0.9, b2=0.999; exact decimals below from 64-bit math):
+
+    Core quirk (eps joins the UNCORRECTED sqrt(v); eps=1e-3 amplifies it):
+      g1=1: m1=0.1, v1=0.001
+        u1 = sqrt(1-b2)/(1-b1) * m1/(sqrt(v1)+eps)
+           = 0.0316227766.../0.0326227766... = 0.969346569968285
+        (the correct-m,v-first formula gives 0.999001 — 3.1% away)
+      g2=2: m2=0.29, v2=0.004999
+        u2 = sqrt(1-b2^2)/(1-b1^2) * m2/(sqrt(v2)+eps) = 0.9517213078707604
+
+    Full optimizer (eps=1e-6, lr schedule warmup=0/t_total=10 so lr_1=0.1,
+    lr_2=0.09; wd=0.5; p0=1; decay hits POST-update params):
+      u1 = 0.9999683782233667, u2 = 0.965168374914551
+      kernel: p1 = (1 - 0.1*u1)*(1 - 0.1*0.5)  = 0.85500300406878
+              p2 = (p1 - 0.09*u2)*(1 - 0.09*0.5) = 0.7335716470617792
+      bias (no decay): p1 = 0.9000031621776633, p2 = 0.8131380084353537
+      Pre-update decay (optax.adamw-style) would give p1 =
+      1 - 0.1*u1 - 0.1*0.5*1 = 0.8500031621776633 (5e-3 away); the
+      corrected-eps core would give bias p1 = 0.9000000999999 (3.8e-6
+      away, still outside the f32 assertion tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gstx.train.optim import make_optimizer, scale_by_ptt_adam
+
+    # --- core quirk, amplified eps ---
+    core = scale_by_ptt_adam(eps=1e-3)
+    cst = core.init({"w": jnp.zeros(1)})
+    up, cst = core.update({"w": jnp.array([1.0])}, cst)
+    # (the core emits the raw +u step; the chained group-scale stage
+    # applies -lr)
+    np.testing.assert_allclose(float(up["w"][0]), 0.969346569968285,
+                               rtol=5e-5)
+    assert abs(float(up["w"][0]) - 0.9990009990009998) > 0.02, \
+        "matched the corrected-m,v-first (optax-style) eps formula"
+    up, cst = core.update({"w": jnp.array([2.0])}, cst)
+    np.testing.assert_allclose(float(up["w"][0]), 0.9517213078707604,
+                               rtol=5e-5)
+
+    # --- full optimizer: schedule + post-update decay ---
+    opt = make_optimizer(0.1, 0.1, warmup_steps=0, t_total=10,
+                         weight_decay=0.5)
+    params = {"params": {"decoder": {"layer_0": {"qkv": {
+        "kernel": jnp.array([1.0], jnp.float32),
+        "bias": jnp.array([1.0], jnp.float32)}}}}}
+    st = opt.init(params)
+    # step-1 atol 1.5e-6 keeps the corrected-eps variant (3.8e-6 away)
+    # outside the band; step 2 accumulates a second step of f32 rounding
+    expect = [(0.85500300406878, 0.9000031621776633, 1.5e-6),
+              (0.7335716470617792, 0.8131380084353537, 4e-6)]
+    for g, (want_k, want_b, atol) in zip((1.0, 2.0), expect):
+        grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, g), params)
+        up, st = opt.update(grads, st, params)
+        params = optax.apply_updates(params, up)
+        leaf = params["params"]["decoder"]["layer_0"]["qkv"]
+        np.testing.assert_allclose(float(leaf["kernel"][0]), want_k,
+                                   atol=atol, rtol=0)
+        np.testing.assert_allclose(float(leaf["bias"][0]), want_b,
+                                   atol=atol, rtol=0)
+    # discrimination margins (step-1 wrong-formula literals)
+    k1, b1v = expect[0][0], expect[0][1]
+    assert abs(k1 - 0.8500031621776633) > 2.5e-3   # pre-update decay
+    assert abs(b1v - 0.9000000999999) > 2.5e-6     # corrected-eps core
+
+
 def test_adamw_trajectory_differential(ref_utils):
     """gstx make_optimizer (ptt-AdamW core + group lrs + decay rule +
     frozen prefixes) vs the transcribed ptt-1.2.0 AdamW driven by the
