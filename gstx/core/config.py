@@ -263,7 +263,11 @@ class GSTConfig:
     # production batch-72 step: 'dots' is 4% SLOWER on v5e (441 vs 460
     # ms/step, two repeats each, PERF.md round 4) — the recompute is not
     # the bottleneck and the extra live memory costs scheduling; the knob
-    # exists for larger-than-reference configs where it can flip
+    # exists for larger-than-reference configs where it can flip.
+    # 'small' saves ONLY the tagged small activations (QKV projections,
+    # attention contexts, residual block outputs) and recomputes the
+    # [B,H,S,S] scores/probs + FFN hidden — a middle ground measured on
+    # chip in PERF.md round 5
     seed: int = 0
     log_every: int = 10
     use_pallas: bool = True  # fused pallas FFN/LN epilogue kernels (TPU bf16)

@@ -60,7 +60,35 @@ def checkpoint_policy(name: str):
         return None
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    raise ValueError(f"unknown remat policy {name!r} (use 'full' or 'dots')")
+    if name == "small":
+        # Save ONLY the tagged small activations (QKV projections, attention
+        # contexts, residual-stream block outputs — see ckpt_tag call sites)
+        # and recompute everything else in the backward: the [B,H,S,S]
+        # attention scores/probs and the [B,S,4H] FFN hidden never live
+        # across the forward, yet the backward re-runs only the score
+        # einsum + softmax + FFN first matmul instead of the WHOLE layer
+        # ('full' recomputes ~14 matmul-units/layer, 'small' ~5).  Tags are
+        # only emitted on the dropout-active (training) path, so decode /
+        # eval programs are byte-identical to before.
+        return jax.checkpoint_policies.save_only_these_names(
+            "gstx_proj", "gstx_ctx", "gstx_block")
+    raise ValueError(
+        f"unknown remat policy {name!r} (use 'full', 'dots' or 'small')")
+
+
+def ckpt_tag(x, tag: str, active: bool):
+    """``jax.ad_checkpoint.checkpoint_name`` gated to the training path.
+
+    Under the 'small' remat policy the named values are the ONLY saved
+    residuals.  ``active`` is ``not deterministic`` at every call site:
+    inference programs never see the name primitive, keeping the decode
+    engine's compiled programs unchanged (PERF rule: decode-path changes
+    need a same-session bench A/B — this avoids one)."""
+    if not active:
+        return x
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, tag)
 
 
 ACT2FN = {"gelu": gelu, "relu": jax.nn.relu, "swish": jax.nn.silu}
@@ -201,9 +229,12 @@ def attend(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
     probs = probs.astype(dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype),
-                      preferred_element_type=jnp.float32,
-                      precision=prec).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=prec).astype(dtype)
+    # under remat_policy='small' the context is saved while scores/probs
+    # above are recomputed in the backward
+    return ckpt_tag(out, "gstx_ctx", not deterministic)
 
 
 class SelfAttention(nn.Module):
@@ -225,7 +256,8 @@ class SelfAttention(nn.Module):
 
         d_model = x.shape[-1]
         inner = self.num_heads * self.head_dim
-        qkv = dense(3 * inner, self.dtype, "qkv")(x)
+        qkv = ckpt_tag(dense(3 * inner, self.dtype, "qkv")(x),
+                       "gstx_proj", not deterministic)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = split_heads(q, self.num_heads)
         k = split_heads(k, self.num_heads)
@@ -249,7 +281,7 @@ class SelfAttention(nn.Module):
             return fused
         out = proj(ctx)
         out = nn.Dropout(self.hidden_dropout)(out, deterministic=deterministic)
-        return ln(out + x)
+        return ckpt_tag(ln(out + x), "gstx_block", not deterministic)
 
 
 class FeedForward(nn.Module):
@@ -279,10 +311,12 @@ class FeedForward(nn.Module):
                 deterministic=deterministic, dtype=self.dtype)
             if fused is not None:
                 return fused
+        # d1's output and the activation (the [B,S,4H] FFN hidden) carry NO
+        # tag: under 'small' they are recomputed in the backward
         h = ACT2FN[self.activation](d1(x))
         h = d2(h)
         h = nn.Dropout(self.hidden_dropout)(h, deterministic=deterministic)
-        return ln(h + x)
+        return ckpt_tag(ln(h + x), "gstx_block", not deterministic)
 
 
 class TransformerLayer(nn.Module):

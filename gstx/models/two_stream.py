@@ -32,6 +32,7 @@ from gstx.models.layers import (
     TransformerLayer,
     attend,
     checkpoint_policy,
+    ckpt_tag,
     dense,
     layer_norm,
     merge_heads,
@@ -66,8 +67,10 @@ class BiAttention(nn.Module):
         heads = cfg.bi_num_attention_heads
         inner = cfg.bi_hidden_size
 
-        qkv1 = dense(3 * inner, self.dtype, "qkv1")(v_input)  # visual stream
-        qkv2 = dense(3 * inner, self.dtype, "qkv2")(t_input)  # text stream
+        qkv1 = ckpt_tag(dense(3 * inner, self.dtype, "qkv1")(v_input),
+                        "gstx_proj", not deterministic)  # visual stream
+        qkv2 = ckpt_tag(dense(3 * inner, self.dtype, "qkv2")(t_input),
+                        "gstx_proj", not deterministic)  # text stream
         q1, k1, v1 = (split_heads(t, heads) for t in jnp.split(qkv1, 3, -1))
         q2, k2, v2 = (split_heads(t, heads) for t in jnp.split(qkv2, 3, -1))
 
@@ -143,6 +146,7 @@ class CoAttentionLayer(nn.Module):
             v_ctx = nn.Dropout(cfg.v_hidden_dropout_prob)(
                 v_ctx, deterministic=deterministic)
             v_state = v_lnm(v_ctx + v_input)
+        v_state = ckpt_tag(v_state, "gstx_block", not deterministic)
         t_state = _pf.maybe_fused_dense_ln(
             ctx_for_text, t_proj.kernel, t_proj.bias, t_input,
             t_lnm.scale, t_lnm.bias, eps=cfg.layer_norm_eps,
@@ -153,6 +157,7 @@ class CoAttentionLayer(nn.Module):
             t_ctx = nn.Dropout(cfg.hidden_dropout_prob)(
                 t_ctx, deterministic=deterministic)
             t_state = t_lnm(t_ctx + t_input)
+        t_state = ckpt_tag(t_state, "gstx_block", not deterministic)
 
         v_state = FeedForward(
             intermediate_size=cfg.v_intermediate_size,

@@ -186,9 +186,11 @@ def test_gen_train_step_decreases_loss(train_env):
 
 @pytest.mark.slow
 def test_remat_policy_identity(train_env, tiny_configs):
-    """'-remat_policy dots' only changes what jax.checkpoint SAVES across
-    the training forward (models/layers.py::checkpoint_policy) — one train
-    step under 'full' and 'dots' must produce the same loss and params."""
+    """'-remat_policy dots'/'small' only change what jax.checkpoint SAVES
+    across the training forward (models/layers.py::checkpoint_policy) — one
+    train step under 'full', 'dots' and 'small' must produce the same loss
+    and params ('small' additionally exercises the gstx_proj/ctx/block
+    checkpoint_name tags)."""
     cfg, tok, model, params = train_env
     ds = VisdialGenDataset(cfg, tok, mode="vd_train")
     dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
@@ -201,7 +203,7 @@ def test_remat_policy_identity(train_env, tiny_configs):
     enc_cfg = dataclasses.replace(enc_cfg, vocab_size=256)
     dec_cfg = dataclasses.replace(dec_cfg, vocab_size=256)
     results = {}
-    for policy in ("full", "dots"):
+    for policy in ("full", "dots", "small"):
         m = GSTVisualDialog(enc_cfg, dec_cfg, remat=True,
                             remat_policy=policy)
         step = make_train_step(m, optimizer, cfg.batch_size)
@@ -209,16 +211,17 @@ def test_remat_policy_identity(train_env, tiny_configs):
                              batch, rng)
         results[policy] = (jax.device_get(p), float(metrics["lm_loss"]))
 
-    (p_full, loss_full), (p_dots, loss_dots) = (results["full"],
-                                                results["dots"])
-    np.testing.assert_allclose(loss_dots, loss_full, rtol=1e-6)
+    p_full, loss_full = results["full"]
     flat_full = jax.tree_util.tree_leaves_with_path(p_full)
-    flat_dots = jax.tree_util.tree_leaves(p_dots)
-    assert len(flat_full) == len(flat_dots)
-    for (path, a), b in zip(flat_full, flat_dots):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
-            err_msg=jax.tree_util.keystr(path))
+    for policy in ("dots", "small"):
+        p_other, loss_other = results[policy]
+        np.testing.assert_allclose(loss_other, loss_full, rtol=1e-6)
+        flat_other = jax.tree_util.tree_leaves(p_other)
+        assert len(flat_full) == len(flat_other)
+        for (path, a), b in zip(flat_full, flat_other):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+                err_msg=f"{policy}: {jax.tree_util.keystr(path)}")
 
 
 @pytest.mark.slow
