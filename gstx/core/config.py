@@ -254,20 +254,22 @@ class GSTConfig:
     # FLOPs for the f32 attention-score memory; reference batch 72 does not
     # fit a 16 GB chip without it).  Decode/eval paths never remat.
     remat: bool = True
-    remat_policy: str = "full"  # what jax.checkpoint saves across the
-    # training forward (models/layers.py::checkpoint_policy): 'full' saves
-    # only layer inputs (minimum memory, recomputes the whole layer);
+    remat_policy: str = "small"  # what jax.checkpoint saves across the
+    # training forward (models/layers.py::checkpoint_policy):
+    # 'small' (default) saves ONLY the tagged small activations (QKV
+    # projections, attention contexts, residual block outputs) and
+    # recomputes the [B,H,S,S] scores/probs + FFN hidden in the backward —
+    # measured +6.5% examples/s over 'full' at the production batch-72
+    # step (412 vs 441 ms/step, two repeats each, PERF.md round 5), bit-
+    # identical numerics (tests/test_train.py::test_remat_policy_identity).
+    # 'full' saves only layer inputs (minimum memory, recomputes the whole
+    # layer) — the fallback when a larger-than-reference config needs the
+    # memory headroom.
     # 'dots' additionally saves the weight-matmul outputs so the backward
     # skips re-running the MXU work while the [B,H,S,S] attention scores
-    # are still recomputed (more memory, fewer FLOPs).  Measured at the
-    # production batch-72 step: 'dots' is 4% SLOWER on v5e (441 vs 460
-    # ms/step, two repeats each, PERF.md round 4) — the recompute is not
-    # the bottleneck and the extra live memory costs scheduling; the knob
-    # exists for larger-than-reference configs where it can flip.
-    # 'small' saves ONLY the tagged small activations (QKV projections,
-    # attention contexts, residual block outputs) and recomputes the
-    # [B,H,S,S] scores/probs + FFN hidden — a middle ground measured on
-    # chip in PERF.md round 5
+    # are still recomputed: measured 4% slower than 'full' on v5e (441 vs
+    # 460 ms/step, PERF.md round 4) — the extra live memory costs XLA
+    # scheduling room.
     seed: int = 0
     log_every: int = 10
     use_pallas: bool = True  # fused pallas FFN/LN epilogue kernels (TPU bf16)

@@ -248,7 +248,7 @@ class GSTDecoderModel(nn.Module):
     config: DecoderConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # per-layer jax.checkpoint on the teacher-forced path
-    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots'
+    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots' | 'small'
 
     def setup(self):
         self.layers = [

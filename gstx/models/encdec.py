@@ -45,7 +45,7 @@ class GSTVisualDialog(nn.Module):
     # per-layer jax.checkpoint (training memory; reference batch 72 needs
     # ~2.7 GB of f32 attention scores per text stream without it)
     remat: bool = False
-    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots'
+    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots' | 'small'
 
     def _shard_logits(self, x):
         """Keep the trailing vocab axis of logits partitioned over the

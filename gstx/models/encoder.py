@@ -27,7 +27,7 @@ class GSTEncoderModel(nn.Module):
     config: EncoderConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # per-layer jax.checkpoint for the training path
-    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots'
+    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots' | 'small'
 
     def setup(self):
         cfg = self.config

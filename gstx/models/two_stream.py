@@ -189,7 +189,7 @@ class TwoStreamEncoder(nn.Module):
     # Forward-only paths (decode/eval) leave this False — checkpoint is a
     # semantic no-op without grad but changes the compiled program.
     remat: bool = False
-    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots'
+    remat_policy: str = "full"  # layers.checkpoint_policy: 'full' | 'dots' | 'small'
 
     def setup(self):
         cfg = self.config
