@@ -80,8 +80,15 @@ def main():
                              "default), 0 = pure-XLA path")
     parser.add_argument("-short_answers", type=int, default=0,
                         help="1 = bias the LM head toward EOS so utterances "
-                             "are 3-7 tokens (the real-checkpoint regime; "
+                             "are a few tokens (the real-checkpoint regime; "
                              "exercises early-EOS exit + dynamic buckets)")
+    parser.add_argument("-eos_bias", type=float, default=3.0,
+                        help="EOS logit bias applied under -short_answers. "
+                             "3.0 is the measured 3-7-token regime (mean "
+                             "exit ~3.4, per-lane exit histogram in PERF.md "
+                             "round 5); the pre-round-5 value 9.0 was "
+                             "degenerate (every lane sampled EOS at step 1, "
+                             "so decodes exited after ONE step)")
     parser.add_argument("-dynamic_buckets", type=int, default=0,
                         help="1 = pick context buckets from actual lengths "
                              "per round (one host sync each) instead of the "
@@ -150,8 +157,9 @@ def main():
     a_params = q_params  # same weights; throughput identical, half the HBM
     if args.short_answers:
         # push SEP's logit up so sampled utterances terminate in a few
-        # steps, emulating trained-checkpoint behavior (answers 3-7 tokens)
-        q_params = bias_eos_logit(q_params, SEP_ID, 9.0)
+        # steps, emulating trained-checkpoint behavior (answers 3-7 tokens
+        # at the default -eos_bias 3.0)
+        q_params = bias_eos_logit(q_params, SEP_ID, args.eos_bias)
         a_params = q_params
     print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -187,6 +195,8 @@ def main():
         quantize_memory=bool(args.quant),
         dynamic_buckets=bool(args.dynamic_buckets))
 
+    from gstx.core.config import PAD_ID
+
     def run(key):
         """NOTE: on this sandbox's tunnel platform block_until_ready returns
         before remote execution completes; fetching the (small) outputs to
@@ -194,6 +204,13 @@ def main():
         out = engine(q_params, a_params, batch, key)
         return (np.asarray(out.questions), np.asarray(out.answers),
                 np.asarray(out.answer_ppl))
+
+    def fetch(out):
+        """Sync one batch to host; returns its ACTUAL generated token count
+        (non-PAD = tokens up to and including each utterance's EOS)."""
+        q, a = np.asarray(out.questions), np.asarray(out.answers)
+        np.asarray(out.answer_ppl)
+        return int((q != PAD_ID).sum() + (a != PAD_ID).sum())
 
     def measure():
         t0 = time.time()
@@ -208,26 +225,29 @@ def main():
         n_batches = max(args.repeats, 3)
         t0 = time.time()
         pending = []
+        actual = 0
         for i in range(n_batches):
             out = engine(q_params, a_params, batch,
                          jax.random.PRNGKey(10 + i))
             pending.append(out)
             if len(pending) >= args.pipeline:
-                o = pending.pop(0)
-                np.asarray(o.questions), np.asarray(o.answers), \
-                    np.asarray(o.answer_ppl)
+                actual += fetch(pending.pop(0))
         while pending:
-            o = pending.pop(0)
-            np.asarray(o.questions), np.asarray(o.answers), \
-                np.asarray(o.answer_ppl)
-        return (time.time() - t0) / n_batches
+            actual += fetch(pending.pop(0))
+        return (time.time() - t0) / n_batches, actual / n_batches
 
     # The JSON contract on stdout is unchanged: printed once, on success.
-    wall = retry_transient(measure)
+    wall, actual_tokens = retry_transient(measure)
 
-    # generated tokens: every decode step samples a token for each of the
-    # two models (the reference counts the same way: 18-step decodes)
-    tokens = args.batch_size * args.rounds * 2 * 18
+    if args.short_answers:
+        # honest accounting for the early-EOS regime: count the tokens the
+        # engine actually emitted (pre-round-5 runs counted 18/decode even
+        # when every lane exited at step 1 — see PERF.md round 5)
+        tokens = actual_tokens
+    else:
+        # default regime: random weights essentially never sample EOS, all
+        # 18 steps run — the reference-comparable fixed accounting
+        tokens = args.batch_size * args.rounds * 2 * 18
     n_chips = jax.device_count()
     tps_chip = tokens / wall / n_chips
     print(f"[bench] wall={wall:.2f}s tokens={tokens} chips={n_chips}",

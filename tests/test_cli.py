@@ -727,12 +727,36 @@ def test_cli_train_gen_overfit_memorizes(tmp_path_factory):
     # 5 dialogs: the overfit dataset pins len() to 5 like the reference's
     # numDataPoints (dataloader_visdial_gen.py:24-28)
     args, cfg0 = make_cli_env(tmpdir, num_dialogs=5)
+    # memorization-friendly fixture variants (probed in PERF-round-5
+    # sessions): distinct question/answer pools (the default 30/40 pools
+    # guarantee cross-dialog question collisions, forcing slow history-
+    # based disambiguation — loss plateaus ~0.3 instead of ~0.1) and zero
+    # dropout (with 0.1 the train loss floors at ~0.8 and greedy decode
+    # stays noisy)
+    from fixtures import make_visdial_json
+
+    make_visdial_json(cfg0.visdial_processed_train, 5, num_questions=500,
+                      num_answers=500, seed=0)
+    for name in ("enc.json", "dec.json"):
+        p = os.path.join(tmpdir, name)
+        d = json.load(open(p))
+        d["hidden_dropout_prob"] = 0.0
+        d["attention_probs_dropout_prob"] = 0.0
+        json.dump(d, open(p, "w"))
+    # batch_size 5 = the dataset size: the loader drops partial batches, so
+    # a larger batch would yield ZERO iterations; -batch_multiply 5 makes
+    # each optimizer step a 5-micro-batch accumulated gradient (25 row
+    # draws over the 50-row grid).  The trainer's reference-exact
+    # t_total = num_iter_epoch*100 (train_gen.py:179) turns the -min_lr
+    # floor into a two-phase schedule: 3e-3 through ~step 100, then the
+    # 1e-3 floor anneals the row-subsampling bounce.
     train_args = args + [
         "-mode", "vd_train", "-model", "enc_dec_a", "-overfit",
-        "-batch_size", "16", "-num_epochs", "100000", "-log_every", "200",
-        "-lr", "2e-3", "-image_lr", "2e-3", "-warmup_steps", "20",
-        "-save_every_steps", "50"]
-    steps = int(os.environ.get("GSTX_OVERFIT_STEPS", "400"))
+        "-batch_size", "5", "-batch_multiply", "5",
+        "-num_epochs", "100000", "-log_every", "100",
+        "-lr", "3e-3", "-image_lr", "3e-3", "-min_lr", "1e-3",
+        "-warmup_steps", "20", "-save_every_steps", "50"]
+    steps = int(os.environ.get("GSTX_OVERFIT_STEPS", "500"))
     main(train_args, max_steps=steps)
 
     # decode from the CHECKPOINT, not the in-memory params: the assertion
